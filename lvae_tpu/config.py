@@ -1,0 +1,234 @@
+"""Typed configuration for the L-VAE framework + reference flag-file shim.
+
+Replaces the reference's argparse/``locals().update`` flag system
+(parse_model_args.py:9-153, LVAE.py:38). Configs are plain dataclasses; the
+``--f=<file>`` flag files the reference uses (one ``--flag=value`` per line,
+kernel structure as Python literals, parse_model_args.py:9-15, 74-79) load
+directly via :func:`load_flag_file`, so a reference user's configs keep
+working.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise ValueError(f"Boolean value expected, got {v!r}")
+
+
+@dataclass
+class LVAEConfig:
+    """Runtime parameters for L-VAE training (parse_model_args.py:18-102)."""
+
+    # data paths
+    data_source_path: str = "./data"
+    save_path: str = "./results"
+    results_path: Optional[str] = None
+    csv_file_data: Optional[str] = None
+    csv_file_label: Optional[str] = None
+    mask_file: Optional[str] = None
+    csv_file_test_data: Optional[str] = None
+    csv_file_test_label: Optional[str] = None
+    test_mask_file: Optional[str] = None
+    csv_file_prediction_data: Optional[str] = None
+    csv_file_prediction_label: Optional[str] = None
+    prediction_mask_file: Optional[str] = None
+    csv_file_validation_data: Optional[str] = None
+    csv_file_validation_label: Optional[str] = None
+    validation_mask_file: Optional[str] = None
+    csv_file_generation_data: Optional[str] = None
+    csv_file_generation_label: Optional[str] = None
+    generation_mask_file: Optional[str] = None
+    dataset_type: str = "HealthMNIST"  # HealthMNIST | RotatedMNIST | Physionet
+
+    # model
+    latent_dim: int = 2
+    hidden_dim: int = 64
+    num_dim: Optional[int] = None
+    type_nnet: str = "conv"  # conv | simple | rnn
+    type_rnn: str = "lstm"  # lstm | gru (rnn encoder variant)
+    vy_init: float = 1.0
+    vy_fixed: bool = False
+    dropout: float = 0.5
+    dropout_input: float = 0.2
+
+    # GP prior
+    id_covariate: int = 0
+    M: int = 10
+    P: int = 0
+    T: int = 0
+    varying_T: bool = False
+    cat_kernel: List[int] = field(default_factory=list)
+    bin_kernel: List[int] = field(default_factory=list)
+    sqexp_kernel: List[int] = field(default_factory=list)
+    cat_int_kernel: List[dict] = field(default_factory=list)
+    bin_int_kernel: List[dict] = field(default_factory=list)
+    covariate_missing_val: List[dict] = field(default_factory=list)
+    constrain_scales: bool = False
+
+    # training
+    epochs: int = 1000
+    weight: float = 1.0
+    num_samples: int = 1
+    loss_function: str = "mse"  # mse | nll
+    type_KL: str = "GPapprox_closed"  # closed | GPapprox | GPapprox_closed
+    mini_batch: bool = False
+    hensman: bool = False
+    variational_inference_training: bool = False
+    natural_gradient: bool = True
+    natural_gradient_lr: float = 0.01
+    subjects_per_batch: int = 20
+    learning_rate: float = 1e-3
+    eps: float = 1e-6
+
+    # ops / infra
+    model_params: str = "model_params.pth"
+    gp_model_folder: str = "./pretrainedVAE"
+    memory_dbg: bool = False
+    generate_plots: bool = False
+    iter_num: int = 1
+    test_freq: int = 50
+    run_tests: bool = False
+    run_validation: bool = False
+    generate_images: bool = False
+
+    # TPU-native knobs (no reference equivalent)
+    dtype: str = "float32"  # compute dtype for GP algebra
+    seed: int = 0
+    data_mesh: int = 1  # devices on the 'data' (subject) mesh axis
+    latent_mesh: int = 1  # devices on the 'latent' mesh axis
+    checkpoint_every: int = 25
+    profile: bool = False
+
+    def kernel_spec_kwargs(self) -> Dict[str, Any]:
+        return dict(
+            cat_kernel=self.cat_kernel,
+            bin_kernel=self.bin_kernel,
+            sqexp_kernel=self.sqexp_kernel,
+            cat_int_kernel=self.cat_int_kernel,
+            bin_int_kernel=self.bin_int_kernel,
+            covariate_missing_val=self.covariate_missing_val,
+        )
+
+    def validate(self) -> "LVAEConfig":
+        assert not (self.hensman and self.mini_batch), (
+            "hensman and mini_batch are mutually exclusive (LVAE.py:40)"
+        )
+        assert self.loss_function in ("mse", "nll"), (
+            f"Unknown loss function {self.loss_function} (LVAE.py:41)"
+        )
+        assert not self.varying_T or self.hensman, (
+            "varying_T can't be used without hensman (LVAE.py:42)"
+        )
+        assert self.type_KL in ("closed", "GPapprox", "GPapprox_closed", "other")
+        return self
+
+
+@dataclass
+class VAEConfig:
+    """Runtime parameters for VAE pre-training (parse_model_args.py:105-143)."""
+
+    data_source_path: str = "./data"
+    save_path: str = "./results"
+    csv_file_data: Optional[str] = None
+    csv_file_label: Optional[str] = None
+    mask_file: Optional[str] = None
+    csv_file_test_data: Optional[str] = None
+    csv_file_test_label: Optional[str] = None
+    test_mask_file: Optional[str] = None
+    dataset_type: str = "HealthMNIST"
+    latent_dim: int = 2
+    hidden_dim: int = 64
+    id_covariate: int = 0
+    T: int = 0
+    varying_T: bool = False
+    epochs: int = 1000
+    num_dim: Optional[int] = None
+    type_nnet: str = "conv"
+    type_rnn: str = "lstm"
+    loss_function: str = "nll"
+    iter_num: int = 1
+    vy_fixed: bool = False
+    vy_init: float = 1.0
+    run_tests: bool = False
+    dropout: float = 0.5
+    dropout_input: float = 0.2
+    learning_rate: float = 1e-3
+    dtype: str = "float32"
+    seed: int = 0
+
+
+_LITERAL_FIELDS = {
+    "cat_kernel",
+    "bin_kernel",
+    "sqexp_kernel",
+    "cat_int_kernel",
+    "bin_int_kernel",
+    "covariate_missing_val",
+}
+
+
+def parse_flag_lines(lines, cls=LVAEConfig):
+    """Parse reference-style ``--flag=value`` lines into a config instance.
+
+    Unknown flags are collected and returned so callers can warn (the
+    reference silently accepted anything argparse knew about).
+    """
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    values: Dict[str, Any] = {}
+    unknown: Dict[str, str] = {}
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if not line.startswith("--"):
+            raise ValueError(f"Cannot parse flag line: {line!r}")
+        body = line[2:]
+        if "=" in body:
+            name, val = body.split("=", 1)
+        else:
+            name, val = body, "true"
+        name = name.strip()
+        val = val.strip()
+        if name == "f":  # nested flag file
+            sub_cfg, sub_unknown = load_flag_file(val, cls)
+            values.update(
+                {
+                    f.name: getattr(sub_cfg, f.name)
+                    for f in dataclasses.fields(cls)
+                }
+            )
+            unknown.update(sub_unknown)
+            continue
+        if name not in fields:
+            unknown[name] = val
+            continue
+        ftype = fields[name].type
+        if name in _LITERAL_FIELDS:
+            values[name] = ast.literal_eval(val)
+        elif ftype in ("bool", bool):
+            values[name] = _str2bool(val)
+        elif ftype in ("int", int):
+            values[name] = int(val)
+        elif ftype in ("float", float):
+            values[name] = float(val)
+        else:
+            values[name] = val
+    cfg = cls(**values)
+    return cfg, unknown
+
+
+def load_flag_file(path: str, cls=LVAEConfig) -> Tuple[Any, Dict[str, str]]:
+    """Load a reference flag file (``python LVAE.py --f=cfg.txt`` format)."""
+    with open(path) as f:
+        return parse_flag_lines(f.read().splitlines(), cls)

@@ -1,0 +1,351 @@
+"""GP KL-divergence bounds for the longitudinal VAE, batched over latent dims.
+
+TPU-native rebuild of elbo_functions.py:8-307 in SidRama/Longitudinal-VAE.
+All functions operate on *padded subject blocks*: covariates ``xb [P, T, Q]``,
+latents ``[P, T, L]`` and an optional validity mask ``[P, T]`` (1 = real
+sample). Fixed-length cohorts are the special case mask == 1; ragged cohorts
+("varying_T") pad each subject to the bucket length, and the mask folds the
+padding out of every term exactly — this replaces the per-subject Python loop
+of ``minibatch_KLD_upper_bound_iter`` (elbo_functions.py:219-307) with one
+batched computation.
+
+The latent-dimension axis ``L`` (GPyTorch ``batch_shape=[latent_dim]`` in the
+reference) is an ordinary leading array axis here; every Cholesky/solve is
+batched ``[L, P, T, T]`` and maps onto XLA's tiled batched factorisations.
+
+Masking correctness (why padding is exact):
+  * block kernels are multiplied by ``mask ⊗ mask`` so padded rows/cols are 0;
+  * ``B = K1⊙(mm^T) + diag(mask·σ² + (1-mask))`` — padded diagonal entries are
+    1, so their Cholesky pivots contribute ``log 1 = 0`` to every log-det and
+    the padded rows of ``B^{-1}`` are unit rows that always meet masked-out
+    zeros in the surrounding contractions;
+  * cross-covariances ``K0xz`` and the variational moments are masked to 0 on
+    padded rows.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lvae_tpu.ops import kernels as kx
+from lvae_tpu.ops import linalg as la
+
+
+def _full_precision(fn):
+    """Run the wrapped GP algebra at full f32 matmul precision.
+
+    TPU matmuls default to bfloat16 inputs; that is fine for the conv
+    encoder/decoder but destroys the conditioning of the inverse-space
+    natural-gradient update and the Cholesky chains (observed: NaN H after one
+    update at default precision). These matrices are tiny (M≈60, T≈20), so
+    full precision costs nothing.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+class GPBlockOperators(NamedTuple):
+    """Shared intermediates of the sparse-GP bounds (one batch of subjects).
+
+    Shapes: L = latent dims, P = subjects (padded), T = block length,
+    M = inducing points.
+    """
+
+    K0xz: jax.Array  # [L, P, T, M]  masked cross-covariance
+    K0zz: jax.Array  # [L, M, M]     jittered inducing covariance
+    LK0zz: jax.Array  # [L, M, M]
+    iK0zz: jax.Array  # [L, M, M]
+    K0_st: jax.Array  # [L, P, T, T]  masked block-diagonal part of K0
+    B: jax.Array  # [L, P, T, T]  K1 + noise (masked; unit diag on padding)
+    LB: jax.Array  # [L, P, T, T]
+    iB: jax.Array  # [L, P, T, T]
+    iB_K0xz: jax.Array  # [L, P, T, M]
+    K0zx_iB_K0xz: jax.Array  # [L, M, M]
+    logdet_B: jax.Array  # [L]
+    logdet_K0zz: jax.Array  # [L]
+    mask: jax.Array  # [P, T] float validity
+
+
+@_full_precision
+def gp_block_operators(
+    spec0: kx.KernelSpec,
+    spec1: kx.KernelSpec,
+    kp0: kx.KernelParams,
+    kp1: kx.KernelParams,
+    noise: jax.Array,
+    xb: jax.Array,
+    z: jax.Array,
+    mask: Optional[jax.Array] = None,
+    eps: float = 1e-6,
+) -> GPBlockOperators:
+    """Build the kernel operators shared by every bound.
+
+    Mirrors elbo_functions.py:54-74 / 171-186: kernel evaluations, the batched
+    ``T×T`` Cholesky of ``B = K1 + σ²I`` and the inducing ``M×M`` factorisation.
+
+    ``noise`` is the per-latent-dim likelihood noise ``[L]`` (already
+    constrained positive). ``z`` is ``[M, Q]`` (inducing points are shared
+    across latent dims, as the reference initialises them, LVAE.py:199-204).
+    """
+    p, t, q = xb.shape
+    m_ind = z.shape[0]
+    dtype = xb.dtype
+    if mask is None:
+        mask = jnp.ones((p, t), dtype=dtype)
+    mask = mask.astype(dtype)
+
+    x_flat = xb.reshape(p * t, q)
+    mask_flat = mask.reshape(p * t)
+
+    k0xz_flat = kx.kernel_matrix(spec0, kp0, x_flat, z, mask1=mask_flat)
+    l = k0xz_flat.shape[0]
+    k0xz = k0xz_flat.reshape(l, p, t, m_ind)
+
+    k0zz = kx.kernel_matrix(spec0, kp0, z, z)
+    k0zz = k0zz + eps * jnp.eye(m_ind, dtype=dtype)
+    lk0zz = la.cholesky(k0zz)
+    ik0zz = la.chol_inverse(lk0zz)
+
+    k0_st = kx.block_kernel_matrix(spec0, kp0, xb, mask)
+    k1_st = kx.block_kernel_matrix(spec1, kp1, xb, mask)
+
+    # diag: σ_l² on real samples, 1 on padding (unit pivot ⇒ logdet offset 0).
+    diag = mask[None] * noise[:, None, None] + (1.0 - mask)[None]
+    b = k1_st + diag[..., None] * jnp.eye(t, dtype=dtype)
+    lb = la.cholesky(b)
+    ib = la.chol_inverse(lb)
+
+    ib_k0xz = ib @ k0xz
+    k0zx_ib_k0xz = jnp.einsum("lptm,lptn->lmn", k0xz, ib_k0xz)
+
+    return GPBlockOperators(
+        K0xz=k0xz,
+        K0zz=k0zz,
+        LK0zz=lk0zz,
+        iK0zz=ik0zz,
+        K0_st=k0_st,
+        B=b,
+        LB=lb,
+        iB=ib,
+        iB_K0xz=ib_k0xz,
+        K0zx_iB_K0xz=k0zx_ib_k0xz,
+        logdet_B=la.logdet_from_chol(lb, batch_dims=1),
+        logdet_K0zz=la.logdet_from_chol(lk0zz, batch_dims=1),
+        mask=mask,
+    )
+
+
+@_full_precision
+def kl_closed(K: jax.Array, mu: jax.Array, log_var: jax.Array) -> jax.Array:
+    """Exact N×N KL(q‖p) — the oracle formula (elbo_functions.py:8-34).
+
+    ``K`` is the dense prior covariance *including* observation noise,
+    ``mu``/``log_var`` the diagonal variational moments. Used in the
+    ``type_KL='closed'`` training regime and as the ground truth the sparse
+    bounds are tested against.
+    """
+    n = K.shape[-1]
+    lk = la.cholesky(K)
+    ik = la.chol_inverse(lk)
+    v = jnp.exp(log_var)
+    tr = jnp.sum(v * jnp.diagonal(ik, axis1=-2, axis2=-1))
+    qf = jnp.sum(mu * (ik @ mu[..., None])[..., 0])
+    logdet_k = la.logdet_from_chol(lk)
+    return 0.5 * (tr + qf - n + logdet_k - jnp.sum(log_var))
+
+
+@_full_precision
+def gp_elbo(
+    ops: GPBlockOperators,
+    yb: jax.Array,
+) -> jax.Array:
+    """Sample-based inducing-point marginal-likelihood bound, per latent dim.
+
+    ``yb [P, T, L]`` is a latent sample. Returns ``el [L]`` — the reference's
+    ``elbo`` (elbo_functions.py:36-84) vectorised over latent dims. The model
+    covariance is ``Σ = B + K0xz K0zz⁻¹ K0zx`` and the bound is
+    ``-½(N log 2π + log|Σ| + yᵀΣ⁻¹y) - ½ tr(B⁻¹(K0_blockdiag − Q0))``.
+    """
+    mask = ops.mask
+    y = (yb * mask[..., None]).transpose(2, 0, 1)  # [L, P, T]
+
+    w = ops.K0zz + ops.K0zx_iB_K0xz
+    w = la.symmetrize(w)
+    lw = la.cholesky(w)
+    logdet_w = la.logdet_from_chol(lw, batch_dims=1)
+    logdet = -ops.logdet_K0zz + ops.logdet_B + logdet_w
+
+    ib_y = jnp.einsum("lptu,lpu->lpt", ops.iB, y)
+    qf1 = jnp.einsum("lpt,lpt->l", y, ib_y)
+    pvec = jnp.einsum("lptm,lpt->lm", ops.K0xz, ib_y)
+    half = la.solve_triangular(lw, pvec[..., None])
+    qf2 = jnp.sum(half[..., 0] ** 2, axis=-1)
+    qf = qf1 - qf2
+
+    tr = jnp.einsum("lptu,lptu->l", ops.iB, ops.K0_st) - jnp.einsum(
+        "lmn,lmn->l", ops.K0zx_iB_K0xz, ops.iK0zz
+    )
+    n_real = jnp.sum(mask)
+    const = -0.5 * n_real * jnp.log(2.0 * jnp.pi).astype(y.dtype)
+    return const - 0.5 * (logdet + qf) - 0.5 * tr
+
+
+@_full_precision
+def dubo(
+    ops: GPBlockOperators,
+    mu_b: jax.Array,
+    log_var_b: jax.Array,
+) -> jax.Array:
+    """Deviance upper bound on the KL, per latent dim: ``[L]``.
+
+    The reference's ``deviance_upper_bound`` (elbo_functions.py:86-142) /
+    ``validation_dubo`` (validation.py:8-68), vectorised over latent dims:
+    uses the variational mean/variance directly instead of a latent sample.
+    """
+    mask = ops.mask
+    dtype = mu_b.dtype
+    m = (mu_b * mask[..., None]).transpose(2, 0, 1)  # [L, P, T]
+    v = (jnp.exp(log_var_b) * mask[..., None]).transpose(2, 0, 1)
+    log_v_masked = (log_var_b * mask[..., None]).transpose(2, 0, 1)
+
+    w = ops.K0zz + ops.K0zx_iB_K0xz
+    w = la.symmetrize(w)
+    lw = la.cholesky(w)
+    logdet_w = la.logdet_from_chol(lw, batch_dims=1)
+    logdet_sigma = -ops.logdet_K0zz + ops.logdet_B + logdet_w
+
+    ib_m = jnp.einsum("lptu,lpu->lpt", ops.iB, m)
+    qf1 = jnp.einsum("lpt,lpt->l", m, ib_m)
+    pvec = jnp.einsum("lptm,lpt->lm", ops.K0xz, ib_m)
+    half = la.solve_triangular(lw, pvec[..., None])
+    qf2 = jnp.sum(half[..., 0] ** 2, axis=-1)
+    qf = qf1 - qf2
+
+    tr = jnp.einsum("lptu,lptu->l", ops.iB, ops.K0_st) - jnp.einsum(
+        "lmn,lmn->l", ops.K0zx_iB_K0xz, ops.iK0zz
+    )
+
+    logdet_d = jnp.sum(log_v_masked, axis=(1, 2))
+    diag_ib = jnp.diagonal(ops.iB, axis1=-2, axis2=-1)  # [L, P, T]
+    tr_ib_d = jnp.sum(diag_ib * v, axis=(1, 2))
+
+    d05_ib_k0xz = ops.iB_K0xz * jnp.sqrt(v)[..., None]  # [L, P, T, M]
+    g = jnp.einsum("lptm,lptn->lmn", d05_ib_k0xz, d05_ib_k0xz)
+    tr_iw_g = jnp.trace(la.cho_solve(lw, g), axis1=-2, axis2=-1)
+    tr_isigma_d = tr_ib_d - tr_iw_g
+
+    n_real = jnp.sum(mask).astype(dtype)
+    return 0.5 * (tr_isigma_d + qf - n_real + logdet_sigma - logdet_d + tr)
+
+
+class NaturalGradients(NamedTuple):
+    grad_m: jax.Array  # [L, M, 1]
+    grad_H: jax.Array  # [L, M, M]
+
+
+@_full_precision
+def minibatch_kld(
+    ops: GPBlockOperators,
+    m: jax.Array,
+    H: jax.Array,
+    mu_b: jax.Array,
+    log_var_b: jax.Array,
+    P_tot: jax.Array,
+    P_batch: jax.Array,
+    N_tot: jax.Array,
+    natural_gradient: bool = False,
+) -> Tuple[jax.Array, Optional[NaturalGradients]]:
+    """Unbiased SVI estimate of the KL upper bound (Hensman training).
+
+    The reference's ``minibatch_KLD_upper_bound`` (elbo_functions.py:144-216);
+    the masked block layout makes it simultaneously the varying-T variant
+    (elbo_functions.py:219-307). ``m [L, M, 1]`` and ``H [L, M, M]`` (PSD) are
+    the explicit variational parameters of the inducing values.
+
+    Returns the scalar bound and, if ``natural_gradient``, the closed-form
+    gradients w.r.t. m and H (elbo_functions.py:207-214) — equal to
+    ``∂ kld_batch/∂{m,H}`` *without* the P_tot/P_batch rescaling, exactly as
+    the reference computes them.
+    """
+    mask = ops.mask
+    latent_dim = ops.K0xz.shape[0]
+    m_ind = ops.K0zz.shape[-1]
+    dtype = mu_b.dtype
+
+    mu = (mu_b * mask[..., None]).transpose(2, 0, 1)  # [L, P, T]
+    v = (jnp.exp(log_var_b) * mask[..., None]).transpose(2, 0, 1)
+    log_v_masked = (log_var_b * mask[..., None]).transpose(2, 0, 1)
+
+    lh = la.cholesky(H)
+    ih = la.chol_inverse(lh)
+
+    ik0zz_m = ops.iK0zz @ m  # [L, M, 1]
+    r = jnp.einsum("lptm,lm->lpt", ops.K0xz, ik0zz_m[..., 0]) - mu
+    r = r * mask[None]
+
+    a_term = jnp.einsum("lpt,lptu,lpu->", r, ops.iB, r)
+    diag_ib = jnp.diagonal(ops.iB, axis1=-2, axis2=-1)
+    b_term = jnp.sum(diag_ib * v)
+    c_term = jnp.sum(ops.logdet_B)
+    d_term = jnp.einsum("lptu,lptu->", ops.iB, ops.K0_st) - jnp.einsum(
+        "lmn,lmn->", ops.K0zx_iB_K0xz, ops.iK0zz
+    )
+    e_mid = ops.iK0zz @ H @ ops.iK0zz
+    e_term = jnp.einsum("lnm,lmn->", e_mid, ops.K0zx_iB_K0xz)
+    f_term = jnp.sum(log_v_masked)
+
+    # KL(q(u) ‖ p(u)) (elbo_functions.py:198-203)
+    tr1 = jnp.einsum("lmn,lnm->", ops.iK0zz, H)
+    qf1 = jnp.einsum("lmo,lmo->", m, ops.iK0zz @ m)
+    logdet_k = jnp.sum(ops.logdet_K0zz)
+    logdet_h = jnp.sum(la.logdet_from_chol(lh, batch_dims=1))
+    kld_qu_pu = 0.5 * (tr1 + qf1 - latent_dim * m_ind + logdet_k - logdet_h)
+
+    scale = jnp.asarray(P_tot, dtype) / jnp.asarray(P_batch, dtype)
+    kld_total = (
+        scale * 0.5 * (a_term + b_term + c_term + d_term + e_term - f_term)
+        + kld_qu_pu
+        - latent_dim * jnp.asarray(N_tot, dtype) / 2.0
+    )
+
+    ng = None
+    if natural_gradient:
+        # elbo_functions.py:207-214
+        k0zx_ib_mu = jnp.einsum("lptm,lptu,lpu->lm", ops.K0xz, ops.iB, mu)
+        ng_a = (ops.iK0zz @ k0zx_ib_mu[..., None])  # [L, M, 1]
+        ng_b = ops.iK0zz @ ops.K0zx_iB_K0xz @ ops.iK0zz + ops.iK0zz
+        grad_m = -ng_a + ng_b @ m
+        grad_h = 0.5 * (-ih + ng_b)
+        ng = NaturalGradients(grad_m=grad_m, grad_H=grad_h)
+
+    return kld_total, ng
+
+
+@_full_precision
+def natural_gradient_update(
+    m: jax.Array,
+    H: jax.Array,
+    ng: NaturalGradients,
+    lr: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Natural-gradient step on (m, H) in inverse space (training.py:129-135).
+
+    ``iH_new = iH + lr (grad_H + grad_Hᵀ)``; ``H ← iH_new⁻¹``;
+    ``m ← H (iH m − lr (grad_m − 2 grad_H m))``. Runs outside autodiff.
+    """
+    lh = la.cholesky(H)
+    ih = la.chol_inverse(lh)
+    ih_new = ih + lr * (ng.grad_H + jnp.swapaxes(ng.grad_H, -1, -2))
+    lih_new = la.cholesky(ih_new)
+    h_new = la.chol_inverse(lih_new)
+    m_new = h_new @ (ih @ m - lr * (ng.grad_m - 2.0 * (ng.grad_H @ m)))
+    return m_new, h_new

@@ -1,0 +1,60 @@
+"""Batched Cholesky helpers used by the GP bounds.
+
+All functions broadcast over arbitrary leading batch dims — the TPU-native
+replacement for the reference's batched ``torch.cholesky`` /
+``torch.cholesky_solve`` / ``torch.triangular_solve`` chains
+(elbo_functions.py:58-78, 176-186). ``jnp.linalg.cholesky`` and
+``jax.lax.linalg.triangular_solve`` map onto XLA's batched factorisations,
+which tile onto the MXU for the [L, P, T, T] block stacks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cholesky(a: jax.Array, jitter: float = 0.0) -> jax.Array:
+    """Lower-triangular Cholesky of a batched SPD matrix (optionally jittered)."""
+    if jitter:
+        n = a.shape[-1]
+        a = a + jitter * jnp.eye(n, dtype=a.dtype)
+    return jnp.linalg.cholesky(a)
+
+
+def cho_solve(chol_l: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve ``A x = b`` given ``A = L L^T`` (batched, broadcasts ``b``)."""
+    b = jnp.broadcast_to(b, chol_l.shape[:-2] + b.shape[-2:])
+    y = jax.lax.linalg.triangular_solve(
+        chol_l, b, left_side=True, lower=True, transpose_a=False
+    )
+    return jax.lax.linalg.triangular_solve(
+        chol_l, y, left_side=True, lower=True, transpose_a=True
+    )
+
+
+def solve_triangular(chol_l: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve ``L y = b`` with ``L`` lower triangular (batched)."""
+    b = jnp.broadcast_to(b, chol_l.shape[:-2] + b.shape[-2:])
+    return jax.lax.linalg.triangular_solve(
+        chol_l, b, left_side=True, lower=True, transpose_a=False
+    )
+
+
+def chol_inverse(chol_l: jax.Array) -> jax.Array:
+    """Inverse of ``A`` from its Cholesky factor (batched)."""
+    n = chol_l.shape[-1]
+    eye = jnp.eye(n, dtype=chol_l.dtype)
+    return cho_solve(chol_l, jnp.broadcast_to(eye, chol_l.shape))
+
+
+def logdet_from_chol(chol_l: jax.Array, batch_dims: int = 0) -> jax.Array:
+    """``log det A = 2 sum log diag L``, summed over all but ``batch_dims`` axes."""
+    d = jnp.diagonal(chol_l, axis1=-2, axis2=-1)
+    axes = tuple(range(batch_dims, d.ndim))
+    return 2.0 * jnp.sum(jnp.log(d), axis=axes)
+
+
+def symmetrize(a: jax.Array) -> jax.Array:
+    """0.5 (A + A^T) — the reference symmetrises W (elbo_functions.py:69, 123)."""
+    return 0.5 * (a + jnp.swapaxes(a, -1, -2))

@@ -1,0 +1,25 @@
+"""Test configuration: CPU backend, 8 virtual devices for sharding tests, x64.
+
+The environment's axon sitecustomize force-registers a TPU backend and sets
+``jax_platforms='axon,cpu'`` at interpreter start, so overriding the env var
+is not enough — we must update the jax config after import. XLA_FLAGS must be
+in place before the CPU backend initialises (first device use).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "sharding tests expect 8 virtual CPU devices"
