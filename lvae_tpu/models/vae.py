@@ -1,0 +1,214 @@
+"""VAE encoder/decoder families (flax.linen), NHWC, TPU-friendly.
+
+Rebuild of the reference models (VAE.py:16-273 in SidRama/Longitudinal-VAE):
+
+* :class:`ConvVAE` — for 36×36 imaging data: conv16→pool→conv32→pool→
+  FC 2592→300→30→latent, mirrored decoder with two stride-2 transposed
+  convolutions and a sigmoid output (VAE.py:44-124). Channel-wise spatial
+  dropout (torch ``Dropout2d``) becomes ``Dropout(broadcast_dims=(1, 2))``
+  over NHWC.
+* :class:`SimpleVAE` — MLP num_dim→300→30→latent and mirror (VAE.py:191-235).
+
+Both carry a learnable per-pixel observation noise ``vy`` parameterised as a
+softplus-floored log-variance with floor ``exp(-8)`` (VAE.py:32-42, 79-88).
+
+Layout notes (TPU): images are NHWC ``[N, 36, 36, 1]`` (torch is NCHW); convs
+and the big FC layers run on the MXU in the model's compute dtype (f32 by
+default, bf16 optional for throughput).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+MIN_LOG_VY = -8.0
+
+
+def _vy_init_raw(vy_init: float, dtype) -> jnp.ndarray:
+    """raw = log(vy_init - exp(min_log_vy)) (VAE.py:34)."""
+    return jnp.asarray(math.log(vy_init - math.exp(MIN_LOG_VY)), dtype=dtype)
+
+
+def floored_log_vy(raw_log_vy: jax.Array) -> jax.Array:
+    """``min + softplus(raw - min)`` — the floored log observation variance."""
+    return MIN_LOG_VY + jax.nn.softplus(raw_log_vy - MIN_LOG_VY)
+
+
+class ConvVAE(nn.Module):
+    """Convolutional VAE for 36×36 single-channel images (VAE.py:16-162)."""
+
+    latent_dim: int
+    num_dim: int = 36 * 36
+    vy_init: float = 1.0
+    p_input: float = 0.2  # stored for config parity; unused in the reference
+    p: float = 0.5
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.conv1 = nn.Conv(16, (3, 3), padding="SAME", dtype=self.dtype)
+        self.conv2 = nn.Conv(32, (3, 3), padding="SAME", dtype=self.dtype)
+        self.fc1 = nn.Dense(300, dtype=self.dtype)
+        self.fc21 = nn.Dense(30, dtype=self.dtype)
+        self.fc211 = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.fc221 = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.fc3 = nn.Dense(30, dtype=self.dtype)
+        self.fc31 = nn.Dense(300, dtype=self.dtype)
+        self.fc4 = nn.Dense(32 * 9 * 9, dtype=self.dtype)
+        self.deconv1 = nn.ConvTranspose(16, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype)
+        self.deconv2 = nn.ConvTranspose(1, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype)
+        # spatial (channel-wise) dropout ≡ torch Dropout2d (VAE.py:48-53)
+        self.drop2d = nn.Dropout(self.p, broadcast_dims=(1, 2))
+        self.drop = nn.Dropout(self.p)
+        self.raw_log_vy = self.param(
+            "raw_log_vy",
+            lambda key: jnp.full((self.num_dim,), _vy_init_raw(self.vy_init, self.dtype)),
+        )
+
+    @property
+    def is_conv(self) -> bool:
+        return True
+
+    def encode(self, x: jax.Array, deterministic: bool = True) -> Tuple[jax.Array, jax.Array]:
+        """images [N, 36, 36, 1] → (mu, log_var) each [N, L] (VAE.py:90-107)."""
+        x = x.astype(self.dtype)
+        h = nn.relu(self.conv1(x))
+        h = self.drop2d(nn.max_pool(h, (2, 2), strides=(2, 2)), deterministic=deterministic)
+        h = nn.relu(self.conv2(h))
+        h = self.drop2d(nn.max_pool(h, (2, 2), strides=(2, 2)), deterministic=deterministic)
+        h = h.reshape(h.shape[0], -1)  # [N, 9*9*32]
+        h = self.drop(nn.relu(self.fc1(h)), deterministic=deterministic)
+        h = self.drop(nn.relu(self.fc21(h)), deterministic=deterministic)
+        return self.fc211(h), self.fc221(h)
+
+    def decode(self, z: jax.Array, deterministic: bool = True) -> jax.Array:
+        """latents [N, L] → images [N, 36, 36, 1] (VAE.py:109-124)."""
+        z = z.astype(self.dtype)
+        h = self.drop(nn.relu(self.fc3(z)), deterministic=deterministic)
+        h = self.drop(nn.relu(self.fc31(h)), deterministic=deterministic)
+        h = nn.relu(self.fc4(h))
+        h = h.reshape(h.shape[0], 9, 9, 32)
+        h = self.drop2d(h, deterministic=deterministic)
+        h = self.drop2d(nn.relu(self.deconv1(h)), deterministic=deterministic)
+        return nn.sigmoid(self.deconv2(h))
+
+    def __call__(self, x, rng: Optional[jax.Array] = None, deterministic: bool = True):
+        mu, log_var = self.encode(x, deterministic=deterministic)
+        if rng is None:
+            z = mu
+        else:
+            z = sample_latent(rng, mu, log_var)
+        return self.decode(z, deterministic=deterministic), mu, log_var
+
+
+class SimpleVAE(nn.Module):
+    """MLP VAE for flat data (VAE.py:165-273)."""
+
+    latent_dim: int
+    num_dim: int
+    vy_init: float = 1.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.fc1 = nn.Dense(300, dtype=self.dtype)
+        self.fc21 = nn.Dense(30, dtype=self.dtype)
+        self.fc211 = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.fc221 = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.fc3 = nn.Dense(30, dtype=self.dtype)
+        self.fc31 = nn.Dense(300, dtype=self.dtype)
+        self.fc4 = nn.Dense(self.num_dim, dtype=self.dtype)
+        self.raw_log_vy = self.param(
+            "raw_log_vy",
+            lambda key: jnp.full((self.num_dim,), _vy_init_raw(self.vy_init, self.dtype)),
+        )
+
+    @property
+    def is_conv(self) -> bool:
+        return False
+
+    def encode(self, x: jax.Array, deterministic: bool = True):
+        x = x.reshape(x.shape[0], -1).astype(self.dtype)
+        h = nn.relu(self.fc1(x))
+        h = nn.relu(self.fc21(h))
+        return self.fc211(h), self.fc221(h)
+
+    def decode(self, z: jax.Array, deterministic: bool = True) -> jax.Array:
+        z = z.astype(self.dtype)
+        h = nn.relu(self.fc3(z))
+        h = nn.relu(self.fc31(h))
+        return nn.sigmoid(self.fc4(h))
+
+    def __call__(self, x, rng: Optional[jax.Array] = None, deterministic: bool = True):
+        mu, log_var = self.encode(x, deterministic=deterministic)
+        z = mu if rng is None else sample_latent(rng, mu, log_var)
+        return self.decode(z, deterministic=deterministic), mu, log_var
+
+
+def sample_latent(rng: jax.Array, mu: jax.Array, log_var: jax.Array) -> jax.Array:
+    """Reparameterised sample ``mu + eps·exp(½ log_var)`` (VAE.py:126-137)."""
+    eps = jax.random.normal(rng, mu.shape, dtype=mu.dtype)
+    return mu + eps * jnp.exp(0.5 * log_var)
+
+
+def vae_loss(
+    raw_log_vy: jax.Array,
+    recon_x: jax.Array,
+    x: jax.Array,
+    mask: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Masked reconstruction losses, per sample: (mse [N], nll [N]).
+
+    Reproduces VAE.py:144-162 exactly, including two quirks worth noting:
+    the per-sample MSE normalises by the number of *observed* pixels
+    (mask_sum, clamped to ≥1), while the NLL adds the Gaussian constant
+    ``½(log 2π + raw_log_vy)`` for every pixel (masked or not) and uses the
+    *unfloored* raw log-variance.
+    """
+    n = recon_x.shape[0]
+    num_dim = raw_log_vy.shape[0]
+    rx = recon_x.reshape(n, num_dim)
+    tx = x.reshape(n, num_dim).astype(rx.dtype)
+    mk = mask.reshape(n, num_dim).astype(rx.dtype)
+    se = (rx - tx) ** 2 * mk
+    mask_sum = jnp.maximum(jnp.sum(mk, axis=1), 1.0)
+    mse = jnp.sum(se, axis=1) / mask_sum
+    nll = se / (2.0 * jnp.exp(raw_log_vy)) + 0.5 * (
+        jnp.log(2.0 * jnp.pi) + raw_log_vy
+    )
+    return mse, jnp.sum(nll, axis=1)
+
+
+def vy_from_params(params) -> jax.Array:
+    """Observation variance ``vy`` from a model's params pytree (VAE.py:79-82)."""
+    raw = params["params"]["raw_log_vy"]
+    return jnp.exp(floored_log_vy(raw))
+
+
+def make_vae(
+    type_nnet: str,
+    latent_dim: int,
+    num_dim: int,
+    vy_init: float = 1.0,
+    dropout: float = 0.5,
+    dropout_input: float = 0.2,
+    dtype=jnp.float32,
+):
+    """Factory matching the reference's model selection (LVAE.py:137-143)."""
+    if type_nnet == "conv":
+        return ConvVAE(
+            latent_dim=latent_dim,
+            num_dim=num_dim,
+            vy_init=vy_init,
+            p=dropout,
+            p_input=dropout_input,
+            dtype=dtype,
+        )
+    if type_nnet == "simple":
+        return SimpleVAE(
+            latent_dim=latent_dim, num_dim=num_dim, vy_init=vy_init, dtype=dtype
+        )
+    raise ValueError(f"Unknown type_nnet {type_nnet!r} (expected 'conv' or 'simple')")

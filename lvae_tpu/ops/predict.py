@@ -1,0 +1,191 @@
+"""Sparse-GP posterior prediction of latent trajectories.
+
+TPU-native rebuild of the reference predictors (utils.py:115-345 in
+SidRama/Longitudinal-VAE): given the training cohort's encoded latent means
+``mu`` and covariates ``x``, predict latents at arbitrary query covariates
+``X`` — entire unseen future timepoints or subjects — via the sparse additive
+GP posterior mean
+
+    Z_pred = K0(X,·) K0zz⁻¹ K0zx μ̃  +  K1(X,·) μ̃,
+    μ̃ = Σ⁻¹ μ = (B⁻¹ − B⁻¹ K0xz H⁻¹ K0zx B⁻¹) μ,   H = K0zz + K0zx B⁻¹ K0xz.
+
+The reference iterates Python loops over subjects for the block-diagonal
+``B = K1 + σ²I`` inverse (utils.py:159-181) and over *test* subjects for the
+``K1`` term (utils.py:195-207). Here both are batched block computations on
+the padded ``[P, T_max]`` layout: ``K1`` is exactly block-diagonal over
+subjects (every kernel1 component carries the id equality factor), so the
+per-test-subject restriction becomes a gather of the aligned training block.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvae_tpu.ops import kernels as kx
+from lvae_tpu.ops import linalg as la
+from lvae_tpu.ops.elbo import _full_precision
+
+
+class PredictInputs(NamedTuple):
+    """Block-layout inputs to :func:`gp_predict` (host-prepared, static shapes).
+
+    Training cohort: ``xb [P, T, Q]``, ``mask [P, T]``, ``mu_b [P, T, L]``.
+    Queries: ``Xb [Pq, Tq, Q]``, ``Xmask [Pq, Tq]``.
+    ``align [Pq]`` — index of each query subject's block in the training
+    cohort, or -1 when the subject has no training data (the K1 term is zero
+    there, matching the reference's mask over prediction subjects,
+    utils.py:192-207).
+    """
+
+    xb: jax.Array
+    mask: jax.Array
+    mu_b: jax.Array
+    Xb: jax.Array
+    Xmask: jax.Array
+    align: jax.Array
+
+
+@_full_precision
+def gp_predict(
+    spec0: kx.KernelSpec,
+    spec1: kx.KernelSpec,
+    kp0: kx.KernelParams,
+    kp1: kx.KernelParams,
+    noise: jax.Array,
+    inputs: PredictInputs,
+    z: jax.Array,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """Posterior mean latents at the query blocks: ``[Pq, Tq, L]``.
+
+    Fully batched over latent dims and subjects; jit-compatible
+    (``batch_predict_varying_T``, utils.py:115-211, without host loops).
+    """
+    xb, mask, mu_b = inputs.xb, inputs.mask, inputs.mu_b
+    Xb, Xmask, align = inputs.Xb, inputs.Xmask, inputs.align
+    p, t, q = xb.shape
+    pq, tq, _ = Xb.shape
+    m_ind = z.shape[0]
+    dtype = xb.dtype
+    mask = mask.astype(dtype)
+    Xmask = Xmask.astype(dtype)
+
+    x_flat = xb.reshape(p * t, q)
+    mask_flat = mask.reshape(p * t)
+    X_flat = Xb.reshape(pq * tq, q)
+    Xmask_flat = Xmask.reshape(pq * tq)
+
+    k0xz = kx.kernel_matrix(spec0, kp0, x_flat, z, mask1=mask_flat)
+    latent_dim = k0xz.shape[0]
+    k0xz = k0xz.reshape(latent_dim, p, t, m_ind)
+    k0zz = kx.kernel_matrix(spec0, kp0, z, z) + eps * jnp.eye(m_ind, dtype=dtype)
+    k0Xz = kx.kernel_matrix(spec0, kp0, X_flat, z, mask1=Xmask_flat)
+
+    # B = K1 + σ²I per subject block (unit diagonal on padding)
+    k1_st = kx.block_kernel_matrix(spec1, kp1, xb, mask)
+    diag = mask[None] * noise[:, None, None] + (1.0 - mask)[None]
+    b = k1_st + diag[..., None] * jnp.eye(t, dtype=dtype)
+    lb = la.cholesky(b)
+    ib = la.chol_inverse(lb)
+
+    ib_k0xz = ib @ k0xz
+    h = k0zz + jnp.einsum("lptm,lptn->lmn", k0xz, ib_k0xz)
+    h = la.symmetrize(h)
+    lh = la.cholesky(h)
+
+    mu = (mu_b * mask[..., None]).transpose(2, 0, 1)  # [L, P, T]
+    ib_mu = jnp.einsum("lptu,lpu->lpt", ib, mu)
+
+    c = jnp.einsum("lptm,lpt->lm", k0xz, ib_mu)  # K0zx B⁻¹ μ
+    sol = la.cho_solve(lh, c[..., None])[..., 0]  # H⁻¹ K0zx B⁻¹ μ
+    back = jnp.einsum("lptm,lm->lpt", k0xz, sol)  # K0xz H⁻¹ ...
+    mu_tilde = ib_mu - jnp.einsum("lptu,lpu->lpt", ib, back)  # [L, P, T]
+
+    # shared term over all queries
+    d = jnp.einsum("lptm,lpt->lm", k0xz, mu_tilde)
+    lk0zz = la.cholesky(k0zz)
+    shared = jnp.einsum(
+        "lnm,lm->ln", k0Xz, la.cho_solve(lk0zz, d[..., None])[..., 0]
+    )  # [L, Pq*Tq]
+
+    # per-subject K1 term: gather the aligned training block for each query
+    has_train = (align >= 0).astype(dtype)  # [Pq]
+    safe_align = jnp.maximum(align, 0)
+    xb_al = xb[safe_align]  # [Pq, T, Q]
+    mask_al = mask[safe_align] * has_train[:, None]
+    mu_tilde_al = mu_tilde[:, safe_align] * mask_al[None]  # [L, Pq, T]
+
+    nb = kp1.raw_scale.ndim - 1
+    k1_cross = jax.vmap(
+        lambda xq, mq, xt, mt: kx.kernel_matrix(spec1, kp1, xq, xt, mq, mt),
+        out_axes=nb,
+    )(Xb, Xmask, xb_al, mask_al)  # [L, Pq, Tq, T]
+    id_term = jnp.einsum("lqat,lqt->lqa", k1_cross, mu_tilde_al)  # [L, Pq, Tq]
+
+    z_pred = shared.reshape(latent_dim, pq, tq) + id_term
+    return z_pred.transpose(1, 2, 0)  # [Pq, Tq, L]
+
+
+def build_predict_inputs(
+    train_labels: np.ndarray,
+    train_mu: np.ndarray,
+    test_labels: np.ndarray,
+    id_covariate: int,
+    dtype=np.float32,
+) -> Tuple[PredictInputs, "np.ndarray", "np.ndarray"]:
+    """Host-side packing of flat arrays into aligned prediction blocks.
+
+    Returns ``(inputs, test_index, test_mask)`` where ``test_index/test_mask``
+    map the query blocks back to flat test rows (for scattering ``Z_pred``).
+    """
+    from lvae_tpu.data.blocks import build_subject_blocks
+
+    tr = build_subject_blocks(train_labels, id_covariate)
+    te = build_subject_blocks(test_labels, id_covariate)
+    train_pos = {float(s): i for i, s in enumerate(tr.subject_ids)}
+    align = np.asarray(
+        [train_pos.get(float(s), -1) for s in te.subject_ids], dtype=np.int32
+    )
+    xb = np.asarray(train_labels, dtype=dtype)[tr.index] * tr.mask[..., None]
+    Xb = np.asarray(test_labels, dtype=dtype)[te.index] * te.mask[..., None]
+    mu_b = np.asarray(train_mu, dtype=dtype)[tr.index] * tr.mask[..., None]
+    inputs = PredictInputs(
+        xb=jnp.asarray(xb),
+        mask=jnp.asarray(tr.mask.astype(dtype)),
+        mu_b=jnp.asarray(mu_b),
+        Xb=jnp.asarray(Xb),
+        Xmask=jnp.asarray(te.mask.astype(dtype)),
+        align=jnp.asarray(align),
+    )
+    return inputs, te.index, te.mask
+
+
+def predict_latents(
+    spec0,
+    spec1,
+    kp0,
+    kp1,
+    noise,
+    train_labels: np.ndarray,
+    train_mu: np.ndarray,
+    test_labels: np.ndarray,
+    z,
+    id_covariate: int,
+    eps: float = 1e-6,
+) -> np.ndarray:
+    """Flat-array convenience wrapper: returns ``Z_pred [N_test, L]``.
+
+    Matches the reference's ``batch_predict_varying_T`` call signature shape
+    (model_test.py:137): flat covariates in, flat predicted latents out.
+    """
+    from lvae_tpu.data.blocks import scatter_to_flat
+
+    inputs, te_index, te_mask = build_predict_inputs(
+        train_labels, np.asarray(train_mu), test_labels, id_covariate
+    )
+    zb = gp_predict(spec0, spec1, kp0, kp1, noise, inputs, z, eps)
+    return scatter_to_flat(np.asarray(zb), te_index, te_mask, test_labels.shape[0])

@@ -1,0 +1,127 @@
+"""Data-layer tests: generator semantics, loaders, subject blocking."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lvae_tpu.data import blocks as bl
+from lvae_tpu.data import healthmnist as hm
+from lvae_tpu.data.datasets import load_healthmnist
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("hm"))
+    data, masked, mask, labels = hm.generate_healthmnist(
+        num_3=3, num_6=3, missing=25.0, seed=0, destination=d
+    )
+    return d, data, masked, mask, labels
+
+
+def test_generator_shapes_and_labels(cohort):
+    d, data, masked, mask, labels = cohort
+    assert data.shape == (6 * 20, 1296)
+    assert list(labels.columns) == [
+        "subject", "digit", "angle", "disease",
+        "disease_time", "gender", "time_age", "location",
+    ]
+    # 20 timepoints per subject, time_age 0..19
+    assert (labels.groupby("subject").size() == 20).all()
+    np.testing.assert_array_equal(
+        labels["time_age"].to_numpy()[:20], np.arange(20)
+    )
+    # healthy subjects have NaN disease_time (Health_MNIST_generate.py:153)
+    healthy = labels[labels["disease"] == 0]
+    if len(healthy):
+        assert healthy["disease_time"].isna().all()
+    sick = labels[labels["disease"] == 1]
+    if len(sick):
+        assert not sick["disease_time"].isna().any()
+    # digit 3 → gender 0, digit 6 → gender 1
+    assert (labels[labels["digit"] == "3"]["gender"] == 0).all()
+    assert (labels[labels["digit"] == "6"]["gender"] == 1).all()
+
+
+def test_generator_rotation_trajectory(cohort):
+    """Sick subjects' rotation spans ~0→45°; healthy stays near 5°."""
+    _, _, _, _, labels = cohort
+    for sid, grp in labels.groupby("subject"):
+        ang = grp["angle"].to_numpy()
+        if grp["disease"].iloc[0] == 1:
+            assert ang[-1] - ang[0] > 20  # sigmoid ramp
+        else:
+            assert abs(np.mean(ang) - 5.0) < 3.0
+
+
+def test_mask_missing_fraction(cohort):
+    _, data, masked, mask, _ = cohort
+    frac = 1.0 - mask.mean()
+    assert 0.2 < frac < 0.3
+    np.testing.assert_array_equal(masked, data * mask)
+
+
+def test_loader_roundtrip(cohort):
+    d, data, masked, mask, labels = cohort
+    ds = load_healthmnist(
+        "health_MNIST_data.csv", "health_MNIST_label.csv", "mask.csv",
+        root_dir=d, conv=True,
+    )
+    assert ds.data.shape == (120, 36, 36, 1)
+    assert ds.data.max() <= 1.0
+    np.testing.assert_allclose(
+        ds.flat_data() * 255.0, data.astype(np.float32), atol=0.5
+    )
+    # label reorder [time_age, disease_time, subject, gender, disease, location]
+    assert ds.labels.shape == (120, 6)
+    np.testing.assert_array_equal(ds.labels[:, 0][:20], np.arange(20))
+    np.testing.assert_array_equal(ds.labels[:, 2], labels["subject"].to_numpy())
+    assert np.isfinite(ds.labels).all()  # NaN disease_time → 0
+
+
+def test_native_reader_matches_pandas(cohort):
+    from lvae_tpu.utils.native_io import native_available, read_csv_native
+
+    if not native_available():
+        pytest.skip("native IO library not built")
+    d, data, *_ = cohort
+    import pandas as pd
+
+    p = os.path.join(d, "health_MNIST_data.csv")
+    got = read_csv_native(p)
+    want = pd.read_csv(p, header=None).to_numpy(dtype=np.float64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_subject_blocks_ragged():
+    labels = np.zeros((7, 3))
+    labels[:, 1] = [5, 5, 5, 9, 9, 2, 2]  # subjects 5 (T=3), 9 (T=2), 2 (T=2)
+    blocks = bl.build_subject_blocks(labels, id_covariate=1)
+    assert blocks.num_subjects == 3 and blocks.t_max == 3
+    np.testing.assert_array_equal(blocks.subject_ids, [5, 9, 2])
+    np.testing.assert_array_equal(blocks.t_lens, [3, 2, 2])
+    np.testing.assert_array_equal(blocks.index[0], [0, 1, 2])
+    np.testing.assert_array_equal(blocks.mask[1], [1, 1, 0])
+
+
+def test_epoch_batches_ghost_padding():
+    labels = np.zeros((10, 1))
+    labels[:, 0] = np.repeat(np.arange(5), 2)  # 5 subjects, T=2
+    blocks = bl.build_subject_blocks(labels, id_covariate=0)
+    idx, msk, p_batch = bl.epoch_batches(blocks, subjects_per_batch=2, shuffle=False)
+    assert idx.shape == (3, 2, 2)
+    np.testing.assert_array_equal(p_batch, [2, 2, 1])
+    assert msk[-1, 1].sum() == 0  # ghost subject fully masked
+    # every real sample appears exactly once
+    real = idx[msk.astype(bool)]
+    np.testing.assert_array_equal(np.sort(real), np.arange(10))
+
+
+def test_scatter_roundtrip():
+    labels = np.zeros((7, 1))
+    labels[:, 0] = [0, 0, 0, 1, 1, 2, 2]
+    blocks = bl.build_subject_blocks(labels, id_covariate=0)
+    vals = np.arange(7, dtype=np.float64)[:, None] * 10
+    gathered = vals[blocks.index] * blocks.mask[..., None]
+    back = bl.scatter_to_flat(gathered, blocks.index, blocks.mask, 7)
+    np.testing.assert_array_equal(back, vals)

@@ -1,0 +1,92 @@
+"""GP posterior prediction vs a dense numpy oracle.
+
+Oracle: Z_pred = (Q0(X,x) + K1(X,x)) Σ⁻¹ μ with Σ = Q0(x,x) + B,
+B = blockdiag(K1) + σ²I — plain dense algebra, no Woodbury, no blocking.
+The implementation (lvae_tpu/ops/predict.py) must agree on ragged cohorts
+including query subjects that have no training data (utils.py:115-211).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from lvae_tpu.ops import kernels as kx
+from lvae_tpu.ops.predict import predict_latents
+
+EPS = 1e-6
+
+
+def build_cohort(rng, subjects, t_range):
+    rows = []
+    for s in subjects:
+        t_len = rng.integers(*t_range)
+        for t in range(t_len):
+            rows.append([float(t), float(rng.integers(0, 2)), float(s), float(rng.integers(0, 3))])
+    return np.asarray(rows, dtype=np.float64)
+
+
+def test_predict_matches_dense_oracle():
+    rng = np.random.default_rng(10)
+    train_x = build_cohort(rng, [0, 1, 2, 3, 4], (2, 5))
+    # queries: known subjects at new times + an unseen subject 9
+    test_x = build_cohort(rng, [1, 3, 9], (2, 4))
+    n, n_test = train_x.shape[0], test_x.shape[0]
+    L, M = 3, 6
+
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2],
+        sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2},
+                        {"cont_covariate": 0, "cat_covariate": 3}],
+        id_covariate=2,
+    )
+    kp0 = kx.init_kernel_params(spec0, latent_dim=L, dtype=jnp.float64)
+    kp1 = kx.init_kernel_params(spec1, latent_dim=L, dtype=jnp.float64)
+    kp0 = kp0._replace(raw_scale=kp0.raw_scale + 0.2 * rng.normal(size=kp0.raw_scale.shape))
+    kp1 = kp1._replace(raw_scale=kp1.raw_scale + 0.2 * rng.normal(size=kp1.raw_scale.shape))
+    noise = jnp.asarray(0.6 + rng.uniform(0, 0.4, size=L))
+    z = jnp.asarray(train_x[rng.choice(n, M, replace=False)] + 0.01 * rng.normal(size=(M, 4)))
+    mu = rng.normal(size=(n, L))
+
+    got = predict_latents(
+        spec0, spec1, kp0, kp1, noise,
+        train_x, mu, test_x, z, id_covariate=2, eps=EPS,
+    )
+    assert got.shape == (n_test, L)
+
+    tx = jnp.asarray(train_x)
+    qx = jnp.asarray(test_x)
+    k0 = np.asarray(kx.kernel_matrix(spec0, kp0, tx, tx))
+    k1 = np.asarray(kx.kernel_matrix(spec1, kp1, tx, tx))
+    k0xz = np.asarray(kx.kernel_matrix(spec0, kp0, tx, z))
+    k0zz = np.asarray(kx.kernel_matrix(spec0, kp0, z, z)) + EPS * np.eye(M)
+    k0Xz = np.asarray(kx.kernel_matrix(spec0, kp0, qx, z))
+    k1Xx = np.asarray(kx.kernel_matrix(spec1, kp1, qx, tx))
+
+    for l in range(L):
+        q0 = k0xz[l] @ np.linalg.solve(k0zz[l], k0xz[l].T)
+        sigma = q0 + k1[l] + float(noise[l]) * np.eye(n)
+        q0_Xx = k0Xz[l] @ np.linalg.solve(k0zz[l], k0xz[l].T)
+        want = (q0_Xx + k1Xx[l]) @ np.linalg.solve(sigma, mu[:, l])
+        np.testing.assert_allclose(got[:, l], want, rtol=1e-6, atol=1e-6)
+
+
+def test_predict_unseen_subject_uses_only_shared_term():
+    """A subject with no training data gets the shared (population) mean."""
+    rng = np.random.default_rng(11)
+    train_x = build_cohort(rng, [0, 1], (3, 4))
+    test_x = build_cohort(rng, [7], (2, 3))  # unseen
+    L, M = 2, 4
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2], sqexp_kernel=[0], id_covariate=2
+    )
+    kp0 = kx.init_kernel_params(spec0, latent_dim=L, dtype=jnp.float64)
+    kp1 = kx.init_kernel_params(spec1, latent_dim=L, dtype=jnp.float64)
+    noise = jnp.asarray([0.8, 1.1])
+    z = jnp.asarray(train_x[: M])
+    mu = rng.normal(size=(train_x.shape[0], L))
+    got = predict_latents(spec0, spec1, kp0, kp1, noise, train_x, mu, test_x, z, 2, EPS)
+
+    tx, qx = jnp.asarray(train_x), jnp.asarray(test_x)
+    k1Xx = np.asarray(kx.kernel_matrix(spec1, kp1, qx, tx))
+    assert np.abs(k1Xx).max() == 0.0  # id kernel vanishes for unseen subject
+    assert np.all(np.isfinite(got))
