@@ -1,0 +1,149 @@
+"""Standalone VAE pre-training with a standard-normal latent prior.
+
+Rebuild of the reference's pre-training entry point (VAE.py:276-386): Adam
+(lr 1e-3) on ``Σ(recon|nll + KLD_N(0,1))`` over shuffled batches of
+``min(N, 256)``; the trained weights seed the L-VAE run (LVAE.py:146-150).
+The epoch is one jitted ``lax.scan`` over a precomputed permutation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lvae_tpu.models import vae as mv
+
+
+class PretrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jax.Array
+
+
+class PretrainMetrics(NamedTuple):
+    loss: jax.Array
+    recon: jax.Array
+    nll: jax.Array
+    kld: jax.Array
+
+
+def std_normal_kld(mu: jax.Array, log_var: jax.Array) -> jax.Array:
+    """Per-sample analytic KL(q‖N(0,I)) (VAE.py:362)."""
+    return -0.5 * jnp.sum(1.0 + log_var - mu * mu - jnp.exp(log_var), axis=1)
+
+
+def make_pretrain_epoch_fn(model, optimizer, loss_function: str, dropout: bool):
+    def batch_loss(params, x, pixmask, rng):
+        k_drop, k_sample = jax.random.split(rng)
+        recon, mu, log_var = model.apply(
+            params, x, rng=k_sample,
+            deterministic=not dropout, rngs={"dropout": k_drop},
+        )
+        mse_i, nll_i = mv.vae_loss(params["params"]["raw_log_vy"], recon, x, pixmask)
+        kld_i = std_normal_kld(mu, log_var)
+        if loss_function == "nll":
+            loss = jnp.sum(nll_i + kld_i)
+        else:
+            loss = jnp.sum(mse_i + kld_i)
+        return loss, PretrainMetrics(
+            loss=loss, recon=jnp.sum(mse_i), nll=jnp.sum(nll_i), kld=jnp.sum(kld_i)
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state, data, pixmask, batch_idx):
+        def step(state, idx):
+            rng, key = jax.random.split(state.rng)
+            x = jnp.take(data, idx, axis=0)
+            mk = jnp.take(pixmask, idx, axis=0)
+            (loss, metrics), grads = jax.value_and_grad(
+                batch_loss, has_aux=True
+            )(state.params, x, mk, key)
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                PretrainState(params, opt_state, rng, state.step + 1),
+                metrics,
+            )
+
+        state, ms = jax.lax.scan(step, state, batch_idx)
+        return state, jax.tree.map(jnp.sum, ms)
+
+    return epoch_fn
+
+
+class VAEPretrainer:
+    """Pre-training driver (VAE.py:340-386 control flow)."""
+
+    def __init__(
+        self,
+        model,
+        dataset,
+        loss_function: str = "nll",
+        learning_rate: float = 1e-3,
+        dropout: bool = True,
+        seed: int = 0,
+        batch_size: int = 256,
+        dtype=jnp.float32,
+    ):
+        self.model = model
+        self.data = jnp.asarray(dataset.data, dtype)
+        self.pixmask = jnp.asarray(dataset.mask, dtype)
+        self.n = len(dataset)
+        self.batch_size = min(self.n, batch_size)
+        self.optimizer = optax.adam(learning_rate)
+        self.epoch_fn = make_pretrain_epoch_fn(
+            model, self.optimizer, loss_function, dropout
+        )
+        self.rng = np.random.default_rng(seed)
+        key = jax.random.key(seed)
+        k_init, k_state = jax.random.split(key)
+        params = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
+            k_init, self.data[:2]
+        )
+        self.state = PretrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            rng=k_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.history: list = []
+
+    def _epoch_indices(self) -> np.ndarray:
+        perm = self.rng.permutation(self.n)
+        n_batches = self.n // self.batch_size
+        if n_batches == 0:
+            n_batches, self.batch_size = 1, self.n
+        return perm[: n_batches * self.batch_size].reshape(n_batches, self.batch_size)
+
+    def run_epoch(self):
+        idx = self._epoch_indices()
+        self.state, ms = self.epoch_fn(
+            self.state, self.data, self.pixmask, jnp.asarray(idx)
+        )
+        m = jax.tree.map(float, ms)
+        self.history.append(m)
+        return m
+
+    def fit(self, epochs: int, log_every: int = 1, callback=None):
+        for epoch in range(1, epochs + 1):
+            m = self.run_epoch()
+            if log_every and epoch % log_every == 0:
+                print(
+                    "====> Epoch: %d - Average loss: %.4f  - KLD loss: %.3f"
+                    "  - NLL loss: %.3f  - Recon loss: %.3f"
+                    % (epoch, m.loss, m.kld, m.nll, m.recon),
+                    flush=True,
+                )
+            if callback is not None:
+                callback(self, epoch, m)
+        return self.history
+
+    @property
+    def params(self):
+        return self.state.params

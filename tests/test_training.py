@@ -1,0 +1,130 @@
+"""End-to-end training smoke tests on a tiny synthetic cohort (CPU).
+
+These check what the reference checks by eye (printed losses,
+training.py:142-143): losses are finite, decrease, the variational state
+stays PSD, and both regimes (natural-gradient and Adam-on-(m,H)) run.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lvae_tpu.data.blocks import build_subject_blocks
+from lvae_tpu.data.datasets import ArrayDataset
+from lvae_tpu.models import vae as mv
+from lvae_tpu.ops import kernels as kx
+from lvae_tpu.train import hensman as th
+from lvae_tpu.train import pretrain as tp
+from lvae_tpu.train import state as st
+
+
+def tiny_cohort(p=6, t=4, conv=False, seed=0):
+    rng = np.random.default_rng(seed)
+    n = p * t
+    labels = np.stack(
+        [
+            np.tile(np.arange(t), p).astype(float),  # time
+            np.repeat(rng.normal(size=p), t),  # cont covariate
+            np.repeat(np.arange(p), t).astype(float),  # id
+            np.repeat(rng.integers(0, 2, p), t).astype(float),  # gender
+        ],
+        axis=1,
+    )
+    if conv:
+        data = rng.uniform(size=(n, 36, 36, 1)).astype(np.float32)
+        mask = np.ones((n, 36 * 36), np.float32)
+    else:
+        data = rng.uniform(size=(n, 20)).astype(np.float32)
+        mask = (rng.uniform(size=(n, 20)) > 0.25).astype(np.float32)
+    return ArrayDataset(data=data, labels=labels, mask=mask)
+
+
+def make_cfg(natural_gradient, p=6, t=4, latent_dim=3, loss_function="mse"):
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2],
+        sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+        id_covariate=2,
+    )
+    return th.HensmanConfig(
+        spec0=spec0,
+        spec1=spec1,
+        latent_dim=latent_dim,
+        P_tot=p,
+        N_tot=p * t,
+        weight=0.5,
+        loss_function=loss_function,
+        natural_gradient=natural_gradient,
+        natural_gradient_lr=0.01,
+        constrain_scales=True,
+        eps=1e-5,
+        dropout=False,
+    )
+
+
+@pytest.mark.parametrize("natural_gradient", [True, False])
+def test_hensman_training_decreases_loss(natural_gradient):
+    ds = tiny_cohort()
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    cfg = make_cfg(natural_gradient)
+    model = mv.SimpleVAE(latent_dim=cfg.latent_dim, num_dim=20)
+    z = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+    trainer = th.HensmanTrainer(
+        model, cfg, ds, blocks, z, subjects_per_batch=3, seed=0
+    )
+    first = trainer.run_epoch()
+    for _ in range(12):
+        last = trainer.run_epoch()
+    assert np.isfinite(last.net)
+    assert last.net < first.net, (first, last)
+    if natural_gradient:
+        eigs = np.linalg.eigvalsh(np.asarray(trainer.state.H_nat))
+        assert eigs.min() > 0
+    assert bool(st.tree_finite(trainer.state.trainables))
+
+
+def test_hensman_nll_mode_runs():
+    ds = tiny_cohort()
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    cfg = make_cfg(True, loss_function="nll")
+    model = mv.SimpleVAE(latent_dim=cfg.latent_dim, num_dim=20)
+    z = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+    trainer = th.HensmanTrainer(model, cfg, ds, blocks, z, subjects_per_batch=6)
+    m = trainer.run_epoch()
+    assert np.isfinite(m.net)
+
+
+def test_hensman_ragged_cohort():
+    """Varying-T path: drop some samples, batches stay static-shape."""
+    ds = tiny_cohort(p=6, t=4)
+    keep = np.ones(len(ds), bool)
+    keep[[3, 7, 11, 22]] = False  # ragged subjects
+    ds = ArrayDataset(ds.data[keep], ds.labels[keep], ds.mask[keep])
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    cfg = make_cfg(True, p=6)._replace(N_tot=int(keep.sum()))
+    model = mv.SimpleVAE(latent_dim=cfg.latent_dim, num_dim=20)
+    z = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+    trainer = th.HensmanTrainer(model, cfg, ds, blocks, z, subjects_per_batch=4)
+    first = trainer.run_epoch()
+    for _ in range(8):
+        last = trainer.run_epoch()
+    assert np.isfinite(last.net) and last.net < first.net
+
+
+def test_pretrain_decreases_loss():
+    ds = tiny_cohort(p=8, t=4)
+    model = mv.SimpleVAE(latent_dim=3, num_dim=20)
+    pre = tp.VAEPretrainer(model, ds, loss_function="mse", batch_size=16, dropout=False)
+    first = pre.run_epoch()
+    for _ in range(20):
+        last = pre.run_epoch()
+    assert np.isfinite(last.loss) and last.loss < first.loss
+
+
+def test_pretrain_conv_smoke():
+    ds = tiny_cohort(p=2, t=3, conv=True)
+    model = mv.ConvVAE(latent_dim=4, num_dim=36 * 36, p=0.0)
+    pre = tp.VAEPretrainer(model, ds, batch_size=6, dropout=False)
+    m = pre.run_epoch()
+    assert np.isfinite(m.loss)
