@@ -1,0 +1,245 @@
+"""Benchmark: Hensman SVI epoch time on the paper-scale Health MNIST config.
+
+Workload (config/LVAE_config_sample.txt:19-35 in the reference): P=200
+subjects x T=20 timepoints of 36x36 images, latent_dim=32, M=60 inducing
+points, subjects_per_batch=20 (10 batches/epoch), ConvVAE + additive GP prior
+(cat id + sqexp age + age-id interaction), natural gradients.
+
+Prints ONE JSON line: epoch time of the jitted lvae_tpu trainer on the
+available accelerator, with ``vs_baseline`` = (epoch time of a
+torch-CPU implementation of the same math, mirroring the reference's
+eager per-batch pipeline) / (ours). The torch baseline is measured on a
+subset of batches and extrapolated (it is slow); set BENCH_SKIP_TORCH=1 to
+skip it and report vs_baseline=1.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+P, T, LATENT, M_IND, SPB = 200, 20, 32, 60, 20
+IMG = 36
+EPOCHS_TIMED = 4
+
+
+def synth_cohort(seed=0):
+    rng = np.random.default_rng(seed)
+    n = P * T
+    labels = np.stack(
+        [
+            np.tile(np.arange(T), P).astype(float),  # time_age
+            np.repeat(rng.normal(size=P), T),  # disease_time
+            np.repeat(np.arange(P), T).astype(float),  # subject
+            np.repeat(rng.integers(0, 2, P), T).astype(float),  # gender
+            np.repeat(rng.integers(0, 2, P), T).astype(float),  # disease
+            np.repeat(rng.integers(0, 2, P), T).astype(float),  # location
+        ],
+        axis=1,
+    )
+    data = rng.uniform(size=(n, IMG, IMG, 1)).astype(np.float32)
+    mask = (rng.uniform(size=(n, IMG * IMG)) > 0.25).astype(np.float32)
+    return data, labels, mask
+
+
+KERNEL_KW = dict(
+    cat_kernel=[2],
+    sqexp_kernel=[0],
+    cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+)
+
+
+def bench_jax():
+    import jax
+
+    from lvae_tpu.data.blocks import build_subject_blocks
+    from lvae_tpu.data.datasets import ArrayDataset
+    from lvae_tpu.models.vae import ConvVAE
+    from lvae_tpu.ops import kernels as kx
+    from lvae_tpu.train import state as st
+    from lvae_tpu.train.hensman import HensmanConfig, HensmanTrainer
+
+    data, labels, mask = synth_cohort()
+    ds = ArrayDataset(data=data, labels=labels, mask=mask)
+    blocks = build_subject_blocks(labels, id_covariate=2)
+    spec0, spec1 = kx.split_kernel_spec(id_covariate=2, **KERNEL_KW)
+    cfg = HensmanConfig(
+        spec0=spec0, spec1=spec1, latent_dim=LATENT, P_tot=P, N_tot=P * T,
+        weight=0.15, loss_function="mse", natural_gradient=True,
+        natural_gradient_lr=0.01, constrain_scales=True, eps=1e-5,
+        dropout=False,
+    )
+    model = ConvVAE(latent_dim=LATENT, num_dim=IMG * IMG, p=0.0)
+    z = st.init_inducing_points(labels, M_IND, seed=0)
+    trainer = HensmanTrainer(model, cfg, ds, blocks, z, subjects_per_batch=SPB)
+
+    t0 = time.perf_counter()
+    trainer.run_epoch()  # includes compile
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(EPOCHS_TIMED):
+        t0 = time.perf_counter()
+        m = trainer.run_epoch()  # run_epoch floats the metrics => synced
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(m.net), m
+    return float(np.median(times)), compile_s, m
+
+
+def bench_torch_baseline(max_batches=3):
+    """Reference-equivalent epoch on torch CPU: eager per-batch ConvVAE
+    fwd/bwd + the A-F minibatch KLD with batched cholesky (the same math the
+    reference runs via GPyTorch; implemented directly with torch.linalg)."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    dtype = torch.double  # the reference runs fully in double (LVAE.py:140)
+    data, labels, mask = synth_cohort()
+    n = P * T
+    x_all = torch.tensor(data.reshape(n, 1, IMG, IMG), dtype=dtype)
+    lab_all = torch.tensor(labels, dtype=dtype)
+    msk_all = torch.tensor(mask, dtype=dtype)
+
+    class TorchConvVAE(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(1, 16, 3, padding=1)
+            self.conv2 = torch.nn.Conv2d(16, 32, 3, padding=1)
+            self.fc1 = torch.nn.Linear(32 * 9 * 9, 300)
+            self.fc21 = torch.nn.Linear(300, 30)
+            self.fc211 = torch.nn.Linear(30, LATENT)
+            self.fc221 = torch.nn.Linear(30, LATENT)
+            self.fc3 = torch.nn.Linear(LATENT, 30)
+            self.fc31 = torch.nn.Linear(30, 300)
+            self.fc4 = torch.nn.Linear(300, 32 * 9 * 9)
+            self.dc1 = torch.nn.ConvTranspose2d(32, 16, 4, 2, 1)
+            self.dc2 = torch.nn.ConvTranspose2d(16, 1, 4, 2, 1)
+
+        def forward(self, x):
+            h = F.max_pool2d(F.relu(self.conv1(x)), 2)
+            h = F.max_pool2d(F.relu(self.conv2(h)), 2)
+            h = h.reshape(x.shape[0], -1)
+            h = F.relu(self.fc21(F.relu(self.fc1(h))))
+            mu, lv = self.fc211(h), self.fc221(h)
+            zs = mu + torch.randn_like(mu) * torch.exp(0.5 * lv)
+            d = F.relu(self.fc4(F.relu(self.fc31(F.relu(self.fc3(zs))))))
+            d = d.reshape(-1, 32, 9, 9)
+            recon = torch.sigmoid(self.dc2(F.relu(self.dc1(d))))
+            return recon, mu, lv
+
+    model = TorchConvVAE().double()
+    # GP hyperparams: scale/lengthscale per latent dim, same structure as ours
+    s_id = torch.full((LATENT,), 0.693, dtype=dtype, requires_grad=True)
+    s_rbf = torch.full((LATENT,), 0.693, dtype=dtype, requires_grad=True)
+    s_int = torch.full((LATENT,), 0.693, dtype=dtype, requires_grad=True)
+    ls_rbf = torch.full((LATENT,), 2.5, dtype=dtype, requires_grad=True)
+    ls_int = torch.full((LATENT,), 2.5, dtype=dtype, requires_grad=True)
+    m_var = torch.randn(LATENT, M_IND, 1, dtype=dtype)
+    h0 = torch.randn(LATENT, M_IND, M_IND, dtype=dtype) / 10
+    h_var = h0 @ h0.transpose(-1, -2) + 0.1 * torch.eye(M_IND, dtype=dtype)
+    z_ind = lab_all[np.random.default_rng(0).choice(n, M_IND, replace=False)]
+    opt = torch.optim.Adam(
+        list(model.parameters()) + [s_id, s_rbf, s_int, ls_rbf, ls_int], lr=1e-3
+    )
+
+    def kernels(a, b):
+        d_age = a[:, None, 0] - b[None, :, 0]
+        same_id = (a[:, None, 2] == b[None, :, 2]).to(dtype)[None]
+        k0m = s_rbf[:, None, None] * torch.exp(
+            -(d_age**2)[None] / (2 * ls_rbf[:, None, None] ** 2)
+        )
+        k1m = s_id[:, None, None] * same_id + s_int[:, None, None] * same_id * torch.exp(
+            -(d_age**2)[None] / (2 * ls_int[:, None, None] ** 2)
+        )
+        return k0m, k1m
+
+    n_batches = P // SPB
+    subj_order = np.random.default_rng(0).permutation(P)
+    times = []
+    for b in range(min(max_batches, n_batches)):
+        t0 = time.perf_counter()
+        subs = subj_order[b * SPB : (b + 1) * SPB]
+        rows = np.concatenate([np.arange(s * T, (s + 1) * T) for s in subs])
+        x = x_all[rows]
+        lab = lab_all[rows]
+        mk = msk_all[rows]
+        opt.zero_grad()
+        recon, mu, lv = model(x)
+        se = ((recon.reshape(-1, IMG * IMG) - x.reshape(-1, IMG * IMG)) ** 2) * mk
+        recon_loss = (se.sum(1) / mk.sum(1).clamp(min=1)).sum() * (P / SPB)
+
+        k0xz, _ = kernels(lab, z_ind)
+        k0zz, _ = kernels(z_ind, z_ind)
+        k0zz = k0zz + 1e-5 * torch.eye(M_IND, dtype=dtype)
+        xb = lab.reshape(SPB, T, -1)
+        k0_st = torch.stack(
+            [kernels(xb[p_], xb[p_])[0] for p_ in range(SPB)], dim=1
+        )
+        b_st = torch.stack(
+            [kernels(xb[p_], xb[p_])[1] for p_ in range(SPB)], dim=1
+        ) + torch.eye(T, dtype=dtype)
+        lk = torch.linalg.cholesky(k0zz)
+        ik0zz = torch.cholesky_solve(torch.eye(M_IND, dtype=dtype), lk)
+        lb = torch.linalg.cholesky(b_st)
+        ib = torch.cholesky_solve(
+            torch.eye(T, dtype=dtype).expand_as(b_st), lb
+        )
+        k0xz_st = k0xz.reshape(LATENT, SPB, T, M_IND)
+        ib_k0xz = ib @ k0xz_st
+        k0zx_ib_k0xz = torch.einsum("lptm,lptn->lmn", k0xz_st, ib_k0xz)
+        lh = torch.linalg.cholesky(h_var)
+        r = torch.einsum("lnm,lmo->ln", k0xz, ik0zz @ m_var) - mu.T
+        r = r.reshape(LATENT, SPB, T)
+        a_t = torch.einsum("lpt,lptu,lpu->", r, ib, r)
+        b_t = (torch.diagonal(ib, dim1=-2, dim2=-1).reshape(LATENT, -1) * torch.exp(lv.T)).sum()
+        c_t = 2 * torch.log(torch.diagonal(lb, dim1=-2, dim2=-1)).sum()
+        d_t = (ib * k0_st).sum() - (k0zx_ib_k0xz * ik0zz).sum()
+        e_mid = ik0zz @ h_var @ ik0zz
+        e_t = (e_mid.transpose(-1, -2) * k0zx_ib_k0xz).sum()
+        f_t = lv.sum()
+        kld = (P / SPB) * 0.5 * (a_t + b_t + c_t + d_t + e_t - f_t)
+        net = recon_loss + 0.15 * kld / LATENT
+        net.backward()
+        opt.step()
+        times.append(time.perf_counter() - t0)
+    # natural-gradient m/H update cost intentionally omitted (favours torch)
+    return float(np.sum(times) / len(times) * n_batches)
+
+
+def main():
+    jax_epoch_s, compile_s, metrics = bench_jax()
+    if os.environ.get("BENCH_SKIP_TORCH"):
+        torch_epoch_s = None
+    else:
+        try:
+            torch_epoch_s = bench_torch_baseline()
+        except Exception as e:  # noqa: BLE001
+            print(f"# torch baseline failed: {e}", file=sys.stderr)
+            torch_epoch_s = None
+    vs = (torch_epoch_s / jax_epoch_s) if torch_epoch_s else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "hensman_epoch_time_healthmnist_P200_T20_L32",
+                "value": round(jax_epoch_s * 1000, 2),
+                "unit": "ms",
+                "vs_baseline": round(vs, 2),
+                "extra": {
+                    "compile_s": round(compile_s, 1),
+                    "torch_cpu_epoch_ms": (
+                        round(torch_epoch_s * 1000, 1) if torch_epoch_s else None
+                    ),
+                    "net_loss": round(float(metrics.net), 2),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Command-line entry points.
+
+``python -m lvae_tpu.cli --f=config.txt``        — L-VAE training (LVAE.py)
+``python -m lvae_tpu.cli pretrain --f=cfg.txt``  — VAE pre-training (VAE.py)
+``python -m lvae_tpu.cli generate ...``          — Health MNIST generation
+
+Flag files use the reference's exact format (one ``--flag=value`` per line,
+kernel structure as Python literals; parse_model_args.py:9-15, 74-79), so a
+reference user's configs work unchanged.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from lvae_tpu.config import LVAEConfig, VAEConfig, parse_flag_lines
+
+
+def _print_config(cfg) -> None:
+    import dataclasses
+
+    for f in dataclasses.fields(cfg):
+        print(f"{f.name}: {getattr(cfg, f.name)}")
+
+
+def main_lvae(argv) -> int:
+    cfg, unknown = parse_flag_lines(argv, LVAEConfig)
+    for k, v in unknown.items():
+        print(f"WARNING: unknown flag --{k}={v}")
+    _print_config(cfg)
+    import jax
+
+    print(f"Running on device: {jax.devices()[0]}")
+    from lvae_tpu.pipeline import LVAEPipeline
+
+    if cfg.variational_inference_training:
+        return _run_vi(cfg)
+    pipeline = LVAEPipeline(cfg)
+    pipeline.run()
+    return 0
+
+
+def _run_vi(cfg) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lvae_tpu.data.blocks import build_subject_blocks
+    from lvae_tpu.data.datasets import load_dataset
+    from lvae_tpu.models.vae import make_vae
+    from lvae_tpu.ops import kernels as kx
+    from lvae_tpu.train import state as st
+    from lvae_tpu.train.vi import VIConfig, VITrainer
+    from lvae_tpu.utils.checkpoint import try_load_checkpoint
+
+    dataset = load_dataset(cfg, "train")
+    prediction = load_dataset(cfg, "prediction")
+    model = make_vae(cfg.type_nnet, cfg.latent_dim, cfg.num_dim or dataset.num_dim)
+    blocks = build_subject_blocks(dataset.labels, cfg.id_covariate)
+    spec0, spec1 = kx.split_kernel_spec(
+        id_covariate=cfg.id_covariate, **cfg.kernel_spec_kwargs()
+    )
+    vae_params = try_load_checkpoint(cfg.model_params)
+    if vae_params is None:
+        import jax
+
+        vae_params = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
+            jax.random.key(cfg.seed), jnp.asarray(dataset.data[:2])
+        )
+    gp_params = st.init_gp_params(
+        spec0, spec1, cfg.latent_dim, constrain_scales=cfg.constrain_scales
+    )
+    z = st.init_inducing_points(dataset.labels, cfg.M, seed=cfg.seed)
+    vicfg = VIConfig(
+        spec0=spec0, spec1=spec1, latent_dim=cfg.latent_dim, weight=cfg.weight,
+        loss_function=cfg.loss_function, constrain_scales=cfg.constrain_scales,
+        eps=cfg.eps,
+    )
+    trainer = VITrainer(
+        model, vicfg, dataset, blocks, z, vae_params, gp_params,
+        learning_rate=cfg.learning_rate, seed=cfg.seed,
+    )
+    trainer.fit(cfg.epochs, log_every=1)
+    if prediction is not None:
+        trainer.optimize_prediction_set(prediction, epochs=1000)
+    return 0
+
+
+def main_pretrain(argv) -> int:
+    cfg, unknown = parse_flag_lines(argv, VAEConfig)
+    for k, v in unknown.items():
+        print(f"WARNING: unknown flag --{k}={v}")
+    _print_config(cfg)
+    assert cfg.loss_function in ("mse", "nll")
+    import os
+
+    from lvae_tpu.data.datasets import load_dataset
+    from lvae_tpu.models.vae import make_vae
+    from lvae_tpu.train.pretrain import VAEPretrainer
+    from lvae_tpu.utils.checkpoint import save_checkpoint
+
+    dataset = load_dataset(cfg, "train")
+    print(f"Length of dataset:  {len(dataset)}")
+    model = make_vae(
+        cfg.type_nnet, cfg.latent_dim, cfg.num_dim or dataset.num_dim,
+        vy_init=cfg.vy_init, dropout=cfg.dropout, dropout_input=cfg.dropout_input,
+    )
+    pre = VAEPretrainer(
+        model, dataset, loss_function=cfg.loss_function,
+        learning_rate=cfg.learning_rate, dropout=cfg.dropout > 0, seed=cfg.seed,
+    )
+
+    def callback(trainer, epoch, metrics):
+        if epoch % 25 == 0:
+            save_checkpoint(
+                os.path.join(cfg.save_path, f"model_params_vae_{epoch}.ckpt"),
+                trainer.params,
+            )
+
+    pre.fit(cfg.epochs, callback=callback)
+    save_checkpoint(os.path.join(cfg.save_path, "model_params_vae.ckpt"), pre.params)
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "pretrain":
+        return main_pretrain(argv[1:])
+    if argv and argv[0] == "generate":
+        from lvae_tpu.data.healthmnist import main as gen_main
+
+        gen_main(argv[1:])
+        return 0
+    return main_lvae(argv)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -213,14 +213,15 @@ def parse_flag_lines(lines, cls=LVAEConfig):
         if name not in fields:
             unknown[name] = val
             continue
-        ftype = fields[name].type
+        ftype = str(fields[name].type)
+        base = ftype.replace("Optional[", "").rstrip("]")
         if name in _LITERAL_FIELDS:
             values[name] = ast.literal_eval(val)
-        elif ftype in ("bool", bool):
+        elif base == "bool":
             values[name] = _str2bool(val)
-        elif ftype in ("int", int):
+        elif base == "int":
             values[name] = int(val)
-        elif ftype in ("float", float):
+        elif base == "float":
             values[name] = float(val)
         else:
             values[name] = val

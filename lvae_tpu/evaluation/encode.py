@@ -1,0 +1,77 @@
+"""Jitted dataset encoding/decoding.
+
+Replaces the reference's DataLoader encode loops (LVAE.py:156-172,
+training.py:156-166, 301-311): the dataset is device-resident, so a full
+encode is a scan over fixed-size index chunks with tail padding. The flax
+module (a frozen dataclass, hashable) is a static jit argument, so repeated
+calls reuse the compiled program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _encode_scan(model, params, data, idx):
+    def step(_, chunk):
+        mu, log_var = model.apply(
+            params,
+            jnp.take(data, chunk, axis=0),
+            deterministic=True,
+            method=type(model).encode,
+        )
+        return None, (mu, log_var)
+
+    _, (mus, lvs) = jax.lax.scan(step, None, idx)
+    return mus, lvs
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _decode_scan(model, params, z_chunks):
+    def step(_, zi):
+        return None, model.apply(
+            params, zi, deterministic=True, method=type(model).decode
+        )
+
+    _, out = jax.lax.scan(step, None, z_chunks)
+    return out
+
+
+def _chunk_indices(n: int, batch_size: int) -> np.ndarray:
+    bs = min(batch_size, n)
+    n_chunks = (n + bs - 1) // bs
+    pad = n_chunks * bs - n
+    idx = np.concatenate([np.arange(n), np.zeros(pad, np.int64)])
+    return idx.reshape(n_chunks, bs)
+
+
+def encode_dataset(
+    model, params, data, batch_size: int = 1000
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode every sample: ``(mu [N, L], log_var [N, L])``."""
+    n = data.shape[0]
+    idx = _chunk_indices(n, batch_size)
+    mus, lvs = _encode_scan(model, params, jnp.asarray(data), jnp.asarray(idx))
+    latent = mus.shape[-1]
+    mu = np.asarray(mus).reshape(-1, latent)[:n]
+    lv = np.asarray(lvs).reshape(-1, latent)[:n]
+    return mu, lv
+
+
+def decode_latents(model, params, z, batch_size: int = 1000) -> np.ndarray:
+    """Decode latents ``[N, L]`` to data space in fixed-size chunks."""
+    z = np.asarray(z)
+    n = z.shape[0]
+    bs = min(batch_size, n)
+    n_chunks = (n + bs - 1) // bs
+    pad = n_chunks * bs - n
+    zp = np.concatenate([z, np.zeros((pad, z.shape[1]), z.dtype)])
+    zp = zp.reshape(n_chunks, bs, z.shape[1])
+    out = np.asarray(_decode_scan(model, params, jnp.asarray(zp)))
+    return out.reshape((n_chunks * bs,) + out.shape[2:])[:n]

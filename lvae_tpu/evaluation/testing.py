@@ -1,0 +1,210 @@
+"""Test-cohort evaluation: VAE-recon MSE and GP-prediction MSE.
+
+Rebuild of model_test.py:11-210 in SidRama/Longitudinal-VAE. Writes the
+reference's evaluation artifact ``result_error.csv`` = [mean masked VAE-recon
+MSE, mean masked GP-prediction MSE] (model_test.py:82, 143) — the number the
+paper's HealthMNIST table reports (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvae_tpu.evaluation.encode import decode_latents
+from lvae_tpu.models import vae as mv
+from lvae_tpu.ops import kernels as kx
+from lvae_tpu.ops import linalg as la
+from lvae_tpu.ops.elbo import _full_precision
+from lvae_tpu.ops.predict import predict_latents
+
+
+class TestResult(NamedTuple):
+    vae_mse: float
+    gp_mse: float
+
+
+def _masked_mse_mean(model, params, recon, data, mask) -> float:
+    mse_i, _ = mv.vae_loss(params["params"]["raw_log_vy"], recon, data, mask)
+    return float(jnp.mean(mse_i))
+
+
+def mse_test_gp_approx(
+    model,
+    params,
+    gp_params,
+    noise,
+    spec0,
+    spec1,
+    test_dataset,
+    prediction_x: np.ndarray,
+    prediction_mu: np.ndarray,
+    z,
+    id_covariate: int,
+    eps: float = 1e-6,
+    results_path: Optional[str] = None,
+    save_file: str = "result_error.csv",
+    rng=None,
+    verbose: bool = True,
+) -> TestResult:
+    """Sparse-GP test evaluation (model_test.py:85-143).
+
+    1. VAE path: encode+sample+decode the test data → masked MSE.
+    2. GP path: predict test latents from the training cohort's encodings via
+       the sparse posterior, decode, masked MSE.
+    """
+    if verbose:
+        print("Running tests with a test set")
+        print(f"Length of test dataset:  {len(test_dataset)}")
+    dtype = np.asarray(prediction_mu).dtype
+    data = jnp.asarray(test_dataset.data)
+    mask = jnp.asarray(test_dataset.mask)
+    if rng is None:
+        rng = jax.random.key(0)
+    recon, mu, log_var = jax.jit(
+        lambda p, x, k: model.apply(p, x, rng=k, deterministic=True),
+        static_argnums=(),
+    )(params, data, rng)
+    vae_mse = _masked_mse_mean(model, params, recon, data, mask)
+    if verbose:
+        print(f"Decoder loss: {vae_mse}")
+
+    z_pred = predict_latents(
+        spec0, spec1, gp_params.kp0, gp_params.kp1, jnp.asarray(noise),
+        np.asarray(prediction_x, dtype), np.asarray(prediction_mu, dtype),
+        np.asarray(test_dataset.labels, dtype), z, id_covariate, eps,
+    )
+    recon_gp = decode_latents(model, params, z_pred.astype(dtype))
+    gp_mse = _masked_mse_mean(model, params, jnp.asarray(recon_gp), data, mask)
+    if verbose:
+        print(f"Decoder loss (GP): {gp_mse}")
+
+    result = TestResult(vae_mse=vae_mse, gp_mse=gp_mse)
+    if results_path is not None:
+        os.makedirs(results_path, exist_ok=True)
+        np.savetxt(
+            os.path.join(results_path, save_file),
+            np.asarray([result.vae_mse, result.gp_mse]),
+        )
+    return result
+
+
+@_full_precision
+def _exact_gp_predict(k_full, k_cross, noise, mu):
+    """Per-dim exact GP regression: ``K(X,x) (K(x,x)+σ²I)⁻¹ μ`` (batched [L])."""
+    n = k_full.shape[-1]
+    k_noisy = k_full + noise[:, None, None] * jnp.eye(n, dtype=k_full.dtype)
+    lk = la.cholesky(k_noisy)
+    sol = la.cho_solve(lk, mu.T[..., None])  # [L, N, 1]
+    return jnp.einsum("lqn,lno->lq", k_cross, sol).T  # [Nq, L]
+
+
+def mse_test_exact(
+    model,
+    params,
+    gp_params_full: kx.KernelParams,
+    spec_full: kx.KernelSpec,
+    noise,
+    test_dataset,
+    prediction_x: np.ndarray,
+    prediction_mu: np.ndarray,
+    eps: float = 1e-6,
+    results_path: Optional[str] = None,
+    max_prediction_rows: int = 6040,
+    rng=None,
+    seed: int = 0,
+    verbose: bool = True,
+) -> TestResult:
+    """Exact N×N GP test evaluation (model_test.py:19-82), for the
+    ``type_KL='closed'`` regime: dense kernel over the (possibly subsampled)
+    prediction cohort, per-latent-dim GP regression to the test covariates.
+
+    Reproduces the subsample rule: if the prediction set exceeds
+    ``max_prediction_rows``, keep the first 40 rows plus 6000 random others
+    (model_test.py:59-63).
+    """
+    if verbose:
+        print("Running tests with a test set")
+    prediction_x = np.asarray(prediction_x)
+    prediction_mu = np.asarray(prediction_mu)
+    if prediction_x.shape[0] > max_prediction_rows:
+        r = np.random.default_rng(seed).choice(
+            prediction_x.shape[0] - 40, 6000, replace=False
+        ) + 40
+        ind = np.concatenate([np.arange(40), r])
+        prediction_x = prediction_x[ind]
+        prediction_mu = prediction_mu[ind]
+
+    data = jnp.asarray(test_dataset.data)
+    mask = jnp.asarray(test_dataset.mask)
+    if rng is None:
+        rng = jax.random.key(0)
+    recon, _, _ = jax.jit(
+        lambda p, x, k: model.apply(p, x, rng=k, deterministic=True)
+    )(params, data, rng)
+    vae_mse = _masked_mse_mean(model, params, recon, data, mask)
+    if verbose:
+        print(f"Decoder loss: {vae_mse}")
+
+    dtype = prediction_mu.dtype
+    px = jnp.asarray(prediction_x, dtype)
+    tx = jnp.asarray(test_dataset.labels, dtype)
+    k_full = kx.kernel_matrix(spec_full, gp_params_full, px, px)
+    k_cross = kx.kernel_matrix(spec_full, gp_params_full, tx, px)
+    z_pred = _exact_gp_predict(
+        k_full, k_cross, jnp.asarray(noise), jnp.asarray(prediction_mu, dtype)
+    )
+    recon_gp = decode_latents(model, params, np.asarray(z_pred))
+    gp_mse = _masked_mse_mean(model, params, jnp.asarray(recon_gp), data, mask)
+    if verbose:
+        print(f"Decoder loss (GP): {gp_mse}")
+    result = TestResult(vae_mse=vae_mse, gp_mse=gp_mse)
+    if results_path is not None:
+        os.makedirs(results_path, exist_ok=True)
+        np.savetxt(
+            os.path.join(results_path, "result_error.csv"),
+            np.asarray([result.vae_mse, result.gp_mse]),
+        )
+    return result
+
+
+def vae_test(model, params, test_dataset, rng=None, verbose: bool = True) -> float:
+    """VAE-only test MSE (model_test.py:145-167)."""
+    if verbose:
+        print(f"Length of test dataset:  {len(test_dataset)}")
+    data = jnp.asarray(test_dataset.data)
+    mask = jnp.asarray(test_dataset.mask)
+    if rng is None:
+        rng = jax.random.key(0)
+    recon, _, _ = jax.jit(
+        lambda p, x, k: model.apply(p, x, rng=k, deterministic=True)
+    )(params, data, rng)
+    m = _masked_mse_mean(model, params, recon, data, mask)
+    if verbose:
+        print(f"Decoder loss: {m}")
+    return m
+
+
+def join_specs(
+    spec0: kx.KernelSpec,
+    spec1: kx.KernelSpec,
+    kp0: kx.KernelParams,
+    kp1: kx.KernelParams,
+):
+    """Concatenate the split kernels back into one additive kernel.
+
+    Used by the exact-GP paths, which evaluate ``covar_module0 +
+    covar_module1`` jointly (LVAE.py:195-196, model_test.py:70).
+    """
+    spec = kx.KernelSpec(components=spec0.components + spec1.components)
+    params = kx.KernelParams(
+        raw_scale=jnp.concatenate([kp0.raw_scale, kp1.raw_scale], axis=-1),
+        raw_lengthscale=jnp.concatenate(
+            [kp0.raw_lengthscale, kp1.raw_lengthscale], axis=-1
+        ),
+    )
+    return spec, params

@@ -1,0 +1,140 @@
+"""Device meshes and sharding layouts for L-VAE training.
+
+The reference is single-process single-device (SURVEY.md §2.2: no
+torch.distributed anywhere); scale-out here is a first-class TPU-native
+design over a 2-D ``Mesh('data', 'latent')``:
+
+* **data axis** — subjects. Every per-subject quantity (the batch gather
+  indices ``[B, S, T]``, the block kernel stacks ``[L, P, T, T]``, the
+  recon/NLL per-sample losses) is sharded over subjects. The KLD A–F terms
+  (elbo_functions.py:188-196) are *sums over subjects*, so GSPMD lowers them
+  to ``psum`` over ICI; T×T blocks never cross subjects, so no halo exchange
+  is ever needed.
+* **latent axis** — the L independent GPs. Kernel hyperparams ``[L, C]``,
+  the variational state ``m [L, M, 1]`` / ``H [L, M, M]`` and every
+  ``[L, ...]`` kernel stack shard over latent dims; the total KLD sums over
+  L → one more all-reduce. The natural-gradient update is elementwise in L,
+  so it runs fully local.
+* VAE parameters are replicated (tens of MB); their gradients all-reduce over
+  the data axis — plain data parallelism.
+
+Everything goes through ``NamedSharding`` placement + jit: XLA GSPMD
+propagates the layouts through the whole epoch scan and inserts the
+collectives. The same code runs on 1 chip (trivial mesh) or a pod slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lvae_tpu.train import state as st
+
+
+def make_mesh(
+    data: int = 1, latent: int = 1, devices: Optional[list] = None
+) -> Mesh:
+    """A 2-D ``(data, latent)`` mesh over the first data*latent devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = data * latent
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(data, latent)
+    return Mesh(dev, axis_names=("data", "latent"))
+
+
+def _put(x, mesh: Mesh, spec: P):
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def shard_train_data(tdata: st.TrainData, mesh: Mesh) -> st.TrainData:
+    """Dataset arrays are replicated (they are gathered by batch indices)."""
+    rep = P()
+    return st.TrainData(
+        data=_put(tdata.data, mesh, rep),
+        labels=_put(tdata.labels, mesh, rep),
+        pixmask=_put(tdata.pixmask, mesh, rep),
+        z=_put(tdata.z, mesh, rep),
+    )
+
+
+def _shard_latent_leaf(x, mesh: Mesh, latent_dim: int):
+    """Shard a leaf on its leading L axis when it has one; else replicate."""
+    if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == latent_dim:
+        return _put(x, mesh, P("latent", *([None] * (x.ndim - 1))))
+    return _put(x, mesh, P())
+
+
+def shard_hensman_state(
+    state: st.HensmanState, mesh: Mesh, latent_dim: int
+) -> st.HensmanState:
+    """Place the training state: GP/[L,...] leaves over 'latent', rest replicated."""
+    return jax.tree.map(
+        lambda x: _shard_latent_leaf(x, mesh, latent_dim), state
+    )
+
+
+def shard_epoch_batches(
+    idx: np.ndarray, msk: np.ndarray, p_batch: np.ndarray, mesh: Mesh
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Shard the epoch's batch tables over subjects (axis 1 of [B, S, T]).
+
+    S must divide by the data-axis size; callers pick subjects_per_batch
+    accordingly (ghost subjects already pad the tail batch).
+    """
+    n_data = mesh.shape["data"]
+    if idx.shape[1] % n_data:
+        raise ValueError(
+            f"subjects_per_batch={idx.shape[1]} must divide data axis {n_data}"
+        )
+    return (
+        _put(jnp.asarray(idx), mesh, P(None, "data", None)),
+        _put(jnp.asarray(msk), mesh, P(None, "data", None)),
+        _put(jnp.asarray(p_batch), mesh, P()),
+    )
+
+
+class ShardedHensmanTrainer:
+    """HensmanTrainer variant whose state and batches live on a mesh.
+
+    Drop-in: same epoch program (train/hensman.py); only array *placement*
+    differs, and XLA GSPMD partitions the computation to match.
+    """
+
+    def __init__(self, trainer, mesh: Mesh):
+        self.inner = trainer
+        self.mesh = mesh
+        latent = trainer.cfg.latent_dim
+        trainer.tdata = shard_train_data(trainer.tdata, mesh)
+        trainer.state = shard_hensman_state(trainer.state, mesh, latent)
+
+    def run_epoch(self):
+        from lvae_tpu.data.blocks import epoch_batches
+
+        t = self.inner
+        idx, msk, p_b = epoch_batches(t.blocks, t.subjects_per_batch, t.rng)
+        idx_s, msk_s, pb_s = shard_epoch_batches(
+            idx, msk.astype(np.float32), p_b.astype(np.float32), self.mesh
+        )
+        t.state, metrics = t.epoch_fn(t.state, t.tdata, idx_s, msk_s, pb_s)
+        m = jax.tree.map(float, metrics)
+        t.history.append(m)
+        return m
+
+    def fit(self, epochs: int, log_every: int = 1, callback=None):
+        for epoch in range(1, epochs + 1):
+            m = self.run_epoch()
+            if log_every and epoch % log_every == 0:
+                print(
+                    "Iter %d/%d - Loss: %.3f  - GP loss: %.3f  - NLL Loss: %.3f"
+                    "  - Recon Loss: %.3f"
+                    % (epoch, epochs, m.net, m.kld, m.nll, m.recon),
+                    flush=True,
+                )
+            if callback is not None:
+                callback(self, epoch, m)
+        return self.inner.history

@@ -1,0 +1,261 @@
+"""End-to-end L-VAE pipeline: the programmatic equivalent of ``LVAE.py``.
+
+Wires config → data → model → GP prior → training regime → artefacts →
+validation → test MSE → image generation, mirroring LVAE.py:27-434 in
+SidRama/Longitudinal-VAE with the TPU-native components of this package.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvae_tpu.config import LVAEConfig
+from lvae_tpu.data.blocks import build_subject_blocks
+from lvae_tpu.data.datasets import load_dataset
+from lvae_tpu.evaluation.encode import encode_dataset
+from lvae_tpu.evaluation.generation import recon_complete_gen
+from lvae_tpu.evaluation.testing import (
+    join_specs,
+    mse_test_exact,
+    mse_test_gp_approx,
+)
+from lvae_tpu.evaluation.validate import validate
+from lvae_tpu.models.vae import make_vae
+from lvae_tpu.ops import kernels as kx
+from lvae_tpu.train import state as st
+from lvae_tpu.train.hensman import HensmanConfig, HensmanTrainer
+from lvae_tpu.train.standard import StandardConfig, StandardTrainer
+from lvae_tpu.train.vi import VIConfig, VITrainer
+from lvae_tpu.utils.checkpoint import save_checkpoint, try_load_checkpoint
+from lvae_tpu.utils.metrics import MetricsLogger, device_memory_stats
+
+
+def _dtype_of(cfg: LVAEConfig):
+    return {"float32": jnp.float32, "float64": jnp.float64, "bfloat16": jnp.bfloat16}[
+        cfg.dtype
+    ]
+
+
+class LVAEPipeline:
+    """Build-and-run harness for one L-VAE experiment."""
+
+    def __init__(self, cfg: LVAEConfig, datasets: Optional[dict] = None):
+        cfg.validate()
+        self.cfg = cfg
+        self.dtype = _dtype_of(cfg)
+        ds = datasets or {}
+        self.dataset = ds.get("train") or load_dataset(cfg, "train")
+        if self.dataset is None:
+            raise ValueError("No training dataset configured")
+        need_pred = cfg.run_tests or cfg.generate_images
+        self.prediction_dataset = ds.get("prediction") or (
+            load_dataset(cfg, "prediction") if need_pred else None
+        )
+        self.generation_dataset = ds.get("generation") or (
+            load_dataset(cfg, "generation") if cfg.generate_images else None
+        )
+        self.validation_dataset = ds.get("validation") or (
+            load_dataset(cfg, "validation") if cfg.run_validation else None
+        )
+        self.test_dataset = ds.get("test") or (
+            load_dataset(cfg, "test") if cfg.run_tests else None
+        )
+        print(f"Length of dataset:  {len(self.dataset)}")
+        if not len(self.dataset):
+            raise ValueError("Dataset is empty")
+
+        self.num_dim = cfg.num_dim or self.dataset.num_dim
+        self.q = self.dataset.num_covariates
+        self.model = make_vae(
+            cfg.type_nnet, cfg.latent_dim, self.num_dim,
+            vy_init=cfg.vy_init, dropout=cfg.dropout,
+            dropout_input=cfg.dropout_input, dtype=self.dtype,
+        )
+        self.spec0, self.spec1 = kx.split_kernel_spec(
+            id_covariate=cfg.id_covariate, **cfg.kernel_spec_kwargs()
+        )
+        self.blocks = build_subject_blocks(self.dataset.labels, cfg.id_covariate)
+        self.metrics = MetricsLogger(cfg.results_path or cfg.save_path)
+        self.trainer = None
+        self.best = {"val": np.inf, "epoch": 0}
+
+    # ---------------------------------------------------------------- setup
+    def _load_pretrained_vae(self, trainer) -> None:
+        """LVAE.py:146-150: seed the VAE from a pre-training checkpoint."""
+        path = self.cfg.model_params
+        ckpt = try_load_checkpoint(path) if path and os.path.exists(path) else None
+        if ckpt is None:
+            print("Did not load pre-trained values.")
+            return
+        try:
+            if trainer is self.trainer and hasattr(trainer.state, "trainables"):
+                tr = trainer.state.trainables._replace(vae=ckpt)
+                trainer.state = trainer.state._replace(trainables=tr)
+            print("Loaded pre-trained values.")
+        except Exception as e:  # noqa: BLE001
+            print(f"Did not load pre-trained values: {e}")
+
+    def build_trainer(self):
+        cfg = self.cfg
+        z = st.init_inducing_points(
+            self.dataset.labels, cfg.M, seed=cfg.seed, dtype=np.float32
+        )
+        if cfg.hensman:
+            hcfg = HensmanConfig(
+                spec0=self.spec0, spec1=self.spec1, latent_dim=cfg.latent_dim,
+                P_tot=self.blocks.num_subjects, N_tot=len(self.dataset),
+                weight=cfg.weight, loss_function=cfg.loss_function,
+                natural_gradient=cfg.natural_gradient,
+                natural_gradient_lr=cfg.natural_gradient_lr,
+                constrain_scales=cfg.constrain_scales, eps=cfg.eps,
+                dropout=cfg.dropout > 0,
+            )
+            self.trainer = HensmanTrainer(
+                self.model, hcfg, self.dataset, self.blocks, z,
+                subjects_per_batch=cfg.subjects_per_batch,
+                learning_rate=cfg.learning_rate, seed=cfg.seed, dtype=self.dtype,
+            )
+        elif cfg.variational_inference_training:
+            raise RuntimeError("use run(); VI needs a pre-trained encoder")
+        else:
+            scfg = StandardConfig(
+                spec0=self.spec0, spec1=self.spec1, latent_dim=cfg.latent_dim,
+                P_tot=self.blocks.num_subjects, T=self.blocks.t_max,
+                weight=cfg.weight, loss_function=cfg.loss_function,
+                type_KL=cfg.type_KL, num_samples=cfg.num_samples,
+                constrain_scales=cfg.constrain_scales, eps=cfg.eps,
+                dropout=cfg.dropout > 0,
+            )
+            if cfg.type_KL == "closed":
+                spec_full = kx.KernelSpec(
+                    components=self.spec0.components + self.spec1.components
+                )
+                scfg = scfg._replace(spec0=spec_full, spec1=kx.KernelSpec(()))
+            self.trainer = StandardTrainer(
+                self.model, scfg, self.dataset, self.blocks, z,
+                learning_rate=cfg.learning_rate, seed=cfg.seed, dtype=self.dtype,
+                pseudo_minibatch=cfg.mini_batch,
+            )
+        self._load_pretrained_vae(self.trainer)
+        return self.trainer
+
+    # -------------------------------------------------------------- training
+    def _epoch_callback(self, trainer, epoch, metrics):
+        cfg = self.cfg
+        self.metrics.log(epoch, metrics._asdict() if hasattr(metrics, "_asdict") else dict(metrics))
+        if epoch % cfg.checkpoint_every or epoch == cfg.epochs:
+            return
+        if self.validation_dataset is None:
+            return
+        vae_params, gp_params, noise = self.current_params()
+        res = validate(
+            self.model, vae_params, gp_params, noise, self.spec0, self.spec1,
+            self.validation_dataset, trainer.tdata.z, cfg.id_covariate,
+            cfg.weight, cfg.loss_function, cfg.latent_dim, cfg.eps,
+        )
+        if res.net < self.best["val"]:
+            self.best = {"val": res.net, "epoch": epoch}
+            print("Saving better model")
+            out = cfg.results_path or cfg.save_path
+            save_checkpoint(
+                os.path.join(out, "model_best.ckpt"), trainer.state,
+                metadata={"epoch": epoch, "val": res.net},
+            )
+            if cfg.run_tests and self.test_dataset is not None:
+                self._run_tests(save_file="result_error_best.csv")
+
+    def train(self):
+        if self.trainer is None:
+            self.build_trainer()
+        start = time.perf_counter()
+        self.trainer.fit(
+            self.cfg.epochs, log_every=1, callback=self._epoch_callback
+        )
+        dur = time.perf_counter() - start
+        print(f"Duration of training: {dur:.2f} seconds")
+        if self.cfg.memory_dbg:
+            print(f"Device memory: {device_memory_stats()}")
+        return self.trainer.history
+
+    # --------------------------------------------------------------- params
+    def current_params(self):
+        tr = self.trainer.state.trainables
+        noise = (
+            jnp.ones_like(tr.gp.raw_noise)
+            if self.cfg.constrain_scales
+            else kx.constrain(tr.gp.raw_noise)
+        )
+        return tr.vae, tr.gp, noise
+
+    def encode_prediction_cohort(self):
+        ds = self.prediction_dataset
+        vae_params, _, _ = self.current_params()
+        mu, _ = encode_dataset(self.model, vae_params, ds.data)
+        return ds.labels, mu
+
+    # ------------------------------------------------------------ evaluation
+    def _run_tests(self, save_file: str = "result_error.csv"):
+        cfg = self.cfg
+        vae_params, gp_params, noise = self.current_params()
+        prediction_x, prediction_mu = self.encode_prediction_cohort()
+        out = cfg.results_path or cfg.save_path
+        if cfg.type_KL in ("GPapprox", "GPapprox_closed"):
+            return mse_test_gp_approx(
+                self.model, vae_params, gp_params, noise, self.spec0, self.spec1,
+                self.test_dataset, prediction_x, prediction_mu,
+                self.trainer.tdata.z, cfg.id_covariate, cfg.eps,
+                results_path=out, save_file=save_file,
+            )
+        spec_full, kp_full = join_specs(
+            self.spec0, self.spec1, gp_params.kp0, gp_params.kp1
+        )
+        return mse_test_exact(
+            self.model, vae_params, kp_full, spec_full, noise,
+            self.test_dataset, prediction_x, prediction_mu, cfg.eps,
+            results_path=out,
+        )
+
+    def save_artifacts(self):
+        """Final artefacts (LVAE.py:346-370): diagnostics + full checkpoint."""
+        cfg = self.cfg
+        out = cfg.save_path
+        os.makedirs(out, exist_ok=True)
+        hist = self.trainer.history
+        with open(os.path.join(out, "diagnostics.pkl"), "wb") as f:
+            pickle.dump(hist, f)
+        save_checkpoint(os.path.join(out, "model_final.ckpt"), self.trainer.state)
+        self.metrics.flush()
+
+    def run(self):
+        """Full experiment: train → save → validate → test → generate."""
+        cfg = self.cfg
+        self.build_trainer()
+        self.train()
+        self.save_artifacts()
+        if cfg.run_validation and self.validation_dataset is not None:
+            vae_params, gp_params, noise = self.current_params()
+            validate(
+                self.model, vae_params, gp_params, noise, self.spec0, self.spec1,
+                self.validation_dataset, self.trainer.tdata.z, cfg.id_covariate,
+                cfg.weight, cfg.loss_function, cfg.latent_dim, cfg.eps,
+            )
+        result = None
+        if cfg.run_tests and self.test_dataset is not None:
+            result = self._run_tests()
+        if cfg.generate_images and self.generation_dataset is not None:
+            vae_params, gp_params, noise = self.current_params()
+            prediction_x, prediction_mu = self.encode_prediction_cohort()
+            recon_complete_gen(
+                self.generation_dataset, self.model, vae_params, gp_params,
+                noise, self.spec0, self.spec1, prediction_x, prediction_mu,
+                self.trainer.tdata.z, cfg.id_covariate,
+                cfg.results_path or cfg.save_path, epoch=-1, eps=cfg.eps,
+            )
+        return result

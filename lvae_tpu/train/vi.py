@@ -1,0 +1,264 @@
+"""Amortisation-free variational-inference optimisation.
+
+Rebuild of ``variational_inference_optimization`` (training.py:602-764 in
+SidRama/Longitudinal-VAE): instead of using the encoder, optimise per-point
+variational parameters (mu, log_var) directly against DUBO + decoder
+reconstruction; then, freezing the training-set parameters, optimise the
+prediction cohort's (mu_pred, log_var_pred) against the *joint* DUBO over the
+concatenated cohorts — pure latent-space inference for unseen sequences.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lvae_tpu.models import vae as mv
+from lvae_tpu.ops import elbo as eb
+from lvae_tpu.ops import kernels as kx
+from lvae_tpu.train import state as st
+
+
+class VIConfig(NamedTuple):
+    spec0: kx.KernelSpec
+    spec1: kx.KernelSpec
+    latent_dim: int
+    weight: float
+    loss_function: str
+    constrain_scales: bool
+    eps: float
+
+
+class VIState(NamedTuple):
+    mu: jax.Array  # [N, L] free variational means
+    log_var: jax.Array  # [N, L]
+    vae: Any  # decoder params (trained jointly, as the reference optimiser
+    #          already carries the VAE params, LVAE.py:292)
+    gp: st.GPParams
+    opt_state: Any
+    rng: jax.Array
+
+
+class VITrainer:
+    """Two-phase VI driver (training.py:618-764 control flow)."""
+
+    def __init__(
+        self,
+        model,
+        cfg: VIConfig,
+        dataset,
+        blocks,
+        z: np.ndarray,
+        vae_params,
+        gp_params: st.GPParams,
+        learning_rate: float = 1e-3,
+        seed: int = 0,
+        dtype=jnp.float32,
+    ):
+        from lvae_tpu.evaluation.encode import encode_dataset
+
+        self.model = model
+        self.cfg = cfg
+        self.dtype = dtype
+        self.data = jnp.asarray(dataset.data, dtype)
+        self.pixmask = jnp.asarray(dataset.mask, dtype)
+        self.labels = np.asarray(dataset.labels)
+        self.blocks = blocks
+        self.z_ind = jnp.asarray(z, dtype)
+        order = blocks.index.reshape(-1)
+        assert blocks.mask.all(), "VI regime expects fixed-T cohorts"
+        self.order = order
+        self.xb = jnp.asarray(dataset.labels[order], dtype).reshape(
+            blocks.num_subjects, blocks.t_max, -1
+        )
+        self.block_mask = jnp.asarray(blocks.mask, dtype)
+
+        mu0, lv0 = encode_dataset(model, vae_params, dataset.data)
+        # store in subject-major order to match xb blocks
+        self.state = VIState(
+            mu=jnp.asarray(mu0[order], dtype),
+            log_var=jnp.asarray(lv0[order], dtype),
+            vae=vae_params,
+            gp=gp_params,
+            opt_state=None,
+            rng=jax.random.key(seed),
+        )
+        self.optimizer = optax.adam(learning_rate)
+        self.state = self.state._replace(
+            opt_state=self.optimizer.init(
+                (self.state.mu, self.state.log_var, self.state.vae, self.state.gp)
+            )
+        )
+
+        cfg_ = cfg
+        model_ = model
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state: VIState, data, pixmask, xb, block_mask, z_ind):
+            rng, key = jax.random.split(state.rng)
+
+            def loss(tr):
+                mu, log_var, vae, gp = tr
+                zs = mv.sample_latent(key, mu, log_var)
+                recon = model_.apply(
+                    vae, zs, deterministic=True, method=type(model_).decode
+                )
+                mse_i, nll_i = mv.vae_loss(
+                    vae["params"]["raw_log_vy"], recon, data, pixmask
+                )
+                recon_loss = jnp.sum(mse_i)
+                nll_loss = jnp.sum(nll_i)
+                noise = (
+                    jnp.ones_like(gp.raw_noise)
+                    if cfg_.constrain_scales
+                    else kx.constrain(gp.raw_noise)
+                )
+                p, t = block_mask.shape
+                ops = eb.gp_block_operators(
+                    cfg_.spec0, cfg_.spec1, gp.kp0, gp.kp1, noise, xb, z_ind,
+                    block_mask, cfg_.eps,
+                )
+                gp_loss = jnp.sum(
+                    eb.dubo(
+                        ops,
+                        mu.reshape(p, t, cfg_.latent_dim),
+                        log_var.reshape(p, t, cfg_.latent_dim),
+                    )
+                ) / cfg_.latent_dim
+                if cfg_.loss_function == "mse":
+                    net = recon_loss + cfg_.weight * gp_loss
+                else:
+                    net = nll_loss + gp_loss
+                return net, (recon_loss, nll_loss, gp_loss)
+
+            tr = (state.mu, state.log_var, state.vae, state.gp)
+            (net, aux), grads = jax.value_and_grad(loss, has_aux=True)(tr)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state, tr)
+            mu, log_var, vae, gp = optax.apply_updates(tr, updates)
+            return (
+                VIState(mu, log_var, vae, gp, opt_state, rng),
+                (net,) + aux,
+            )
+
+        self.step_fn = step_fn
+        self.history: list = []
+
+    def fit(self, epochs: int, log_every: int = 100):
+        for epoch in range(1, epochs + 1):
+            self.state, (net, recon, nll, gp) = self.step_fn(
+                self.state, self.data[self.order], self.pixmask[self.order],
+                self.xb, self.block_mask, self.z_ind,
+            )
+            m = dict(net=float(net), recon=float(recon), nll=float(nll), gp=float(gp))
+            self.history.append(m)
+            if log_every and epoch % log_every == 0:
+                print(
+                    "Iter %d/%d - Loss: %.3f  - GP loss: %.3f  - NLL Loss: %.3f"
+                    "  - Recon Loss: %.3f"
+                    % (epoch, epochs, m["net"], m["gp"], m["nll"], m["recon"]),
+                    flush=True,
+                )
+        return self.history
+
+    def optimize_prediction_set(
+        self, prediction_dataset, epochs: int = 1000, learning_rate: float = 1e-3,
+        log_every: int = 100, seed: int = 1,
+    ):
+        """Phase 2 (training.py:688-749): optimise (mu_pred, log_var_pred) for
+        an unseen cohort against the joint DUBO with the trained cohort."""
+        from lvae_tpu.data.blocks import build_subject_blocks
+        from lvae_tpu.evaluation.encode import encode_dataset
+
+        model, cfg, dtype = self.model, self.cfg, self.dtype
+        mu0, lv0 = encode_dataset(model, self.state.vae, prediction_dataset.data)
+        joint_labels = np.concatenate(
+            [np.asarray(prediction_dataset.labels), self.labels[self.order]], 0
+        )
+        jblocks = build_subject_blocks(joint_labels, id_covariate=self._id_cov())
+        assert jblocks.mask.all(), "prediction regime expects fixed-T cohorts"
+        xb = jnp.asarray(joint_labels[jblocks.index.reshape(-1)], dtype).reshape(
+            jblocks.num_subjects, jblocks.t_max, -1
+        )
+        block_mask = jnp.asarray(jblocks.mask, dtype)
+        jindex = jnp.asarray(jblocks.index.reshape(-1))
+        n_pred = prediction_dataset.data.shape[0]
+
+        data_pred = jnp.asarray(prediction_dataset.data, dtype)
+        pixmask_pred = jnp.asarray(prediction_dataset.mask, dtype)
+        opt = optax.adam(learning_rate)
+        mu_pred = jnp.asarray(mu0, dtype)
+        lv_pred = jnp.asarray(lv0, dtype)
+        opt_state = opt.init((mu_pred, lv_pred))
+        vae, gp = self.state.vae, self.state.gp
+        mu_train, lv_train = self.state.mu, self.state.log_var
+        z_ind = self.z_ind
+        cfg_ = cfg
+        model_ = model
+
+        @jax.jit
+        def pred_step(mu_pred, lv_pred, opt_state, key):
+            def loss(tr):
+                mu_p, lv_p = tr
+                zs = mv.sample_latent(key, mu_p, lv_p)
+                recon = model_.apply(
+                    vae, zs, deterministic=True, method=type(model_).decode
+                )
+                mse_i, nll_i = mv.vae_loss(
+                    vae["params"]["raw_log_vy"], recon, data_pred, pixmask_pred
+                )
+                recon_loss = jnp.sum(mse_i)
+                nll_loss = jnp.sum(nll_i)
+                mu_all = jnp.concatenate([mu_p, mu_train], axis=0)
+                lv_all = jnp.concatenate([lv_p, lv_train], axis=0)
+                mu_b = jnp.take(mu_all, jindex, axis=0).reshape(
+                    block_mask.shape[0], block_mask.shape[1], cfg_.latent_dim
+                )
+                lv_b = jnp.take(lv_all, jindex, axis=0).reshape(
+                    block_mask.shape[0], block_mask.shape[1], cfg_.latent_dim
+                )
+                noise = (
+                    jnp.ones_like(gp.raw_noise)
+                    if cfg_.constrain_scales
+                    else kx.constrain(gp.raw_noise)
+                )
+                ops = eb.gp_block_operators(
+                    cfg_.spec0, cfg_.spec1, gp.kp0, gp.kp1, noise, xb, z_ind,
+                    block_mask, cfg_.eps,
+                )
+                gp_loss = jnp.sum(eb.dubo(ops, mu_b, lv_b)) / cfg_.latent_dim
+                if cfg_.loss_function == "mse":
+                    return recon_loss + cfg_.weight * gp_loss, (recon_loss, gp_loss)
+                return nll_loss + gp_loss, (recon_loss, gp_loss)
+
+            (net, aux), grads = jax.value_and_grad(loss, has_aux=True)(
+                (mu_pred, lv_pred)
+            )
+            updates, opt_state = opt.update(grads, opt_state)
+            mu_pred, lv_pred = optax.apply_updates((mu_pred, lv_pred), updates)
+            return mu_pred, lv_pred, opt_state, net, aux
+
+        key = jax.random.key(seed)
+        for epoch in range(1, epochs + 1):
+            key, sub = jax.random.split(key)
+            mu_pred, lv_pred, opt_state, net, (recon_loss, gp_loss) = pred_step(
+                mu_pred, lv_pred, opt_state, sub
+            )
+            if log_every and epoch % log_every == 0:
+                print(
+                    "Iter %d/%d - Total Loss: %.3f  - GP Loss: %.3f  - Recon Loss: %.3f"
+                    % (epoch, epochs, float(net), float(gp_loss), float(recon_loss)),
+                    flush=True,
+                )
+        return np.asarray(mu_pred), np.asarray(lv_pred)
+
+    def _id_cov(self) -> int:
+        # the id covariate is recoverable from kernel1's first cat component
+        for comp in self.cfg.spec1.components:
+            if comp.eq_cols:
+                return comp.eq_cols[0]
+        raise ValueError("kernel1 has no id covariate component")

@@ -1,0 +1,158 @@
+"""End-to-end pipeline test: train → validate → test MSE → generate (CPU).
+
+Drives the same flow as ``python LVAE.py --f=cfg`` (LVAE.py:27-434) on a tiny
+in-memory Health MNIST cohort and checks the reference's artefacts appear:
+result_error.csv, recon_complete.pdf, diagnostics.pkl, checkpoints.
+"""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from lvae_tpu.config import LVAEConfig, parse_flag_lines
+from lvae_tpu.data.datasets import ArrayDataset
+from lvae_tpu.pipeline import LVAEPipeline
+
+
+def healthmnist_like(p=6, t=5, seed=0):
+    rng = np.random.default_rng(seed)
+    n = p * t
+    # covariates [time_age, disease_time, subject, gender, disease, location]
+    labels = np.stack(
+        [
+            np.tile(np.arange(t), p).astype(float),
+            np.repeat(rng.normal(size=p), t),
+            np.repeat(np.arange(p), t).astype(float),
+            np.repeat(rng.integers(0, 2, p), t).astype(float),
+            np.repeat(rng.integers(0, 2, p), t).astype(float),
+            np.repeat(rng.integers(0, 2, p), t).astype(float),
+        ],
+        axis=1,
+    )
+    data = rng.uniform(size=(n, 36, 36, 1)).astype(np.float32)
+    mask = (rng.uniform(size=(n, 36 * 36)) > 0.25).astype(np.float32)
+    return ArrayDataset(data=data, labels=labels, mask=mask)
+
+
+@pytest.fixture(scope="module")
+def result_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("results"))
+
+
+def make_cfg(result_dir, **over):
+    base = dict(
+        dataset_type="HealthMNIST",
+        type_nnet="conv",
+        latent_dim=4,
+        id_covariate=2,
+        M=8,
+        P=6,
+        T=5,
+        epochs=3,
+        weight=0.15,
+        num_dim=1296,
+        type_KL="GPapprox_closed",
+        subjects_per_batch=3,
+        hensman=True,
+        natural_gradient=True,
+        constrain_scales=True,
+        cat_kernel=[2],
+        sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+        loss_function="mse",
+        run_tests=True,
+        run_validation=True,
+        generate_images=True,
+        save_path=result_dir,
+        results_path=result_dir,
+        dropout=0.0,
+        checkpoint_every=2,
+    )
+    base.update(over)
+    return LVAEConfig(**base)
+
+
+def test_full_pipeline_hensman(result_dir):
+    cfg = make_cfg(result_dir)
+    datasets = {
+        "train": healthmnist_like(seed=0),
+        "validation": healthmnist_like(p=4, seed=1),
+        "test": healthmnist_like(p=3, seed=2),
+        "prediction": healthmnist_like(p=6, seed=0),  # same cohort as train
+        "generation": healthmnist_like(p=3, seed=2),
+    }
+    pipeline = LVAEPipeline(cfg, datasets)
+    result = pipeline.run()
+    assert result is not None
+    assert np.isfinite(result.vae_mse) and np.isfinite(result.gp_mse)
+    # reference artefacts (model_test.py:82,143; LVAE.py:347; predict_HealthMNIST.py:140)
+    assert os.path.exists(os.path.join(result_dir, "result_error.csv"))
+    err = np.loadtxt(os.path.join(result_dir, "result_error.csv"))
+    assert err.shape == (2,)
+    assert os.path.exists(os.path.join(result_dir, "diagnostics.pkl"))
+    with open(os.path.join(result_dir, "diagnostics.pkl"), "rb") as f:
+        hist = pickle.load(f)
+    assert len(hist) == cfg.epochs
+    assert os.path.exists(os.path.join(result_dir, "model_final.ckpt"))
+    assert os.path.exists(os.path.join(result_dir, "recon_complete.pdf"))
+    assert os.path.exists(os.path.join(result_dir, "metrics.jsonl"))
+
+
+def test_pipeline_standard_regime(result_dir):
+    cfg = make_cfg(
+        result_dir, hensman=False, natural_gradient=False, epochs=2,
+        run_validation=False, generate_images=False, run_tests=False,
+    )
+    datasets = {"train": healthmnist_like(seed=0)}
+    pipeline = LVAEPipeline(cfg, datasets)
+    pipeline.build_trainer()
+    hist = pipeline.train()
+    assert np.isfinite(hist[-1].net)
+
+
+def test_pipeline_closed_kl_regime(result_dir):
+    cfg = make_cfg(
+        result_dir, hensman=False, natural_gradient=False, type_KL="closed",
+        epochs=2, run_validation=False, generate_images=False, run_tests=False,
+        latent_dim=2,
+    )
+    datasets = {"train": healthmnist_like(p=4, seed=0)}
+    pipeline = LVAEPipeline(cfg, datasets)
+    pipeline.build_trainer()
+    hist = pipeline.train()
+    assert np.isfinite(hist[-1].net)
+
+
+def test_checkpoint_roundtrip(result_dir, tmp_path):
+    from lvae_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = make_cfg(str(tmp_path), epochs=1, run_validation=False,
+                   generate_images=False, run_tests=False)
+    pipeline = LVAEPipeline(cfg, {"train": healthmnist_like(seed=0)})
+    trainer = pipeline.build_trainer()
+    trainer.run_epoch()
+    path = os.path.join(str(tmp_path), "s.ckpt")
+    save_checkpoint(path, trainer.state)
+    restored = load_checkpoint(path, like=trainer.state)
+    import jax
+
+    def raw(x):
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            return np.asarray(jax.random.key_data(x))
+        return np.asarray(x)
+
+    for a, b in zip(jax.tree.leaves(trainer.state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(raw(a), raw(b))
+
+
+def test_reference_flag_file_loads():
+    cfg, unknown = parse_flag_lines(
+        open("/root/reference/config/LVAE_config_sample.txt").read().splitlines(),
+        LVAEConfig,
+    )
+    assert not unknown
+    assert cfg.latent_dim == 32 and cfg.M == 60 and cfg.hensman
+    assert cfg.cat_int_kernel[0] == {"cont_covariate": 0, "cat_covariate": 2}
+    cfg.validate()

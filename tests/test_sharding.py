@@ -1,0 +1,78 @@
+"""Multi-device sharding tests on the 8-virtual-CPU mesh.
+
+Checks that the sharded Hensman trainer computes the SAME numbers as the
+single-device path (GSPMD partitioning must be semantics-preserving) across
+data-parallel, latent-parallel and 2-D meshes.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from lvae_tpu.data.blocks import build_subject_blocks
+from lvae_tpu.models import vae as mv
+from lvae_tpu.parallel.mesh import ShardedHensmanTrainer, make_mesh
+from lvae_tpu.train import hensman as th
+from lvae_tpu.train import state as st
+from tests.test_training import make_cfg, tiny_cohort
+
+
+def build_trainer(p=8, t=4, latent_dim=4, seed=0):
+    import jax.numpy as jnp
+
+    ds = tiny_cohort(p=p, t=t, seed=seed)
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    cfg = make_cfg(True, p=p, t=t, latent_dim=latent_dim)
+    model = mv.SimpleVAE(latent_dim=latent_dim, num_dim=20, dtype=jnp.float64)
+    z = st.init_inducing_points(ds.labels, m_inducing=6, seed=0)
+    # f64 so that any observed divergence is a sharding-semantics bug, not
+    # f32 reduction-order noise amplified by the inverse-space (m, H) update
+    return th.HensmanTrainer(
+        model, cfg, ds, blocks, z, subjects_per_batch=4, seed=seed,
+        dtype=jnp.float64,
+    )
+
+
+def run_epochs(trainer, n=3):
+    out = []
+    for _ in range(n):
+        out.append(trainer.run_epoch())
+    return out
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (1, 2), (4, 2)])
+def test_sharded_matches_single_device(mesh_shape):
+    ref = build_trainer()
+    ref_hist = run_epochs(ref)
+
+    trainer = build_trainer()
+    mesh = make_mesh(*mesh_shape)
+    sharded = ShardedHensmanTrainer(trainer, mesh)
+    got_hist = run_epochs(sharded)
+
+    for a, b in zip(ref_hist, got_hist):
+        np.testing.assert_allclose(a.net, b.net, rtol=1e-8)
+        np.testing.assert_allclose(a.kld, b.kld, rtol=1e-8)
+
+    # states agree too (m/H live on the latent axis)
+    if ref.cfg.natural_gradient:
+        np.testing.assert_allclose(
+            np.asarray(ref.state.H_nat), np.asarray(trainer.state.H_nat), rtol=1e-6, atol=1e-9
+        )
+
+
+def test_state_sharding_layout():
+    trainer = build_trainer()
+    mesh = make_mesh(2, 2)
+    sharded = ShardedHensmanTrainer(trainer, mesh)
+    h = trainer.state.H_nat
+    spec = h.sharding.spec
+    assert spec[0] == "latent", f"H should shard over latent, got {spec}"
+    # VAE params replicated
+    leaf = jax.tree.leaves(trainer.state.trainables.vae)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(16, 1)  # more than the 8 virtual devices
