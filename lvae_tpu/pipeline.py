@@ -144,7 +144,27 @@ class LVAEPipeline:
                 pseudo_minibatch=cfg.mini_batch,
             )
         self._load_pretrained_vae(self.trainer)
+        self._try_resume(self.trainer)
         return self.trainer
+
+    def _try_resume(self, trainer) -> None:
+        """LVAE.py:214-234 semantics: resume GP/variational/VAE state from a
+        prior run's folder when one exists (full-state checkpoint here)."""
+        folder = self.cfg.gp_model_folder
+        if not folder:
+            return
+        for name in ("model_final.ckpt", "model_best.ckpt"):
+            path = os.path.join(folder, name)
+            state = (
+                try_load_checkpoint(path, like=trainer.state)
+                if os.path.exists(path)
+                else None
+            )
+            if state is not None:
+                trainer.state = state
+                print(f"Loaded GP models (resumed from {path})")
+                return
+        print("GP model loading failed!")
 
     # -------------------------------------------------------------- training
     def _epoch_callback(self, trainer, epoch, metrics):
@@ -175,9 +195,18 @@ class LVAEPipeline:
         if self.trainer is None:
             self.build_trainer()
         start = time.perf_counter()
-        self.trainer.fit(
-            self.cfg.epochs, log_every=1, callback=self._epoch_callback
-        )
+        if self.cfg.profile:
+            # jax.profiler trace (replaces the reference's wall-clock-only
+            # timing, LVAE.py:304-337); view with tensorboard/xprof
+            out = self.cfg.results_path or self.cfg.save_path
+            with jax.profiler.trace(os.path.join(out, "profile")):
+                self.trainer.fit(
+                    self.cfg.epochs, log_every=1, callback=self._epoch_callback
+                )
+        else:
+            self.trainer.fit(
+                self.cfg.epochs, log_every=1, callback=self._epoch_callback
+            )
         dur = time.perf_counter() - start
         print(f"Duration of training: {dur:.2f} seconds")
         if self.cfg.memory_dbg:
