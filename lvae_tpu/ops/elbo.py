@@ -111,9 +111,19 @@ def gp_block_operators(
     k0xz = k0xz_flat.reshape(l, p, t, m_ind)
 
     k0zz = kx.kernel_matrix(spec0, kp0, z, z)
-    k0zz = k0zz + eps * jnp.eye(m_ind, dtype=dtype)
-    lk0zz = la.cholesky(k0zz)
-    ik0zz = la.chol_inverse(lk0zz)
+    # Jitter: the reference uses a fixed eps in float64 (LVAE.py:24). K0zz is
+    # frequently rank-deficient by construction — e.g. an RBF over a time
+    # covariate with few distinct values makes duplicated inducing rows — and
+    # in float32 a 1e-6 jitter leaves K0zz⁻¹ entries ~1e5 that destabilise the
+    # natural-gradient feedback loop. In f32 we therefore floor the jitter
+    # relative to the kernel's scale (f64 keeps the exact reference value).
+    if dtype == jnp.float32:
+        diag_mean = jnp.mean(jnp.diagonal(k0zz, axis1=-2, axis2=-1))
+        eps_eff = jnp.maximum(jnp.asarray(eps, dtype), 3e-4 * diag_mean)
+    else:
+        eps_eff = jnp.asarray(eps, dtype)
+    k0zz = k0zz + eps_eff * jnp.eye(m_ind, dtype=dtype)
+    lk0zz, ik0zz = la.cholesky_and_inverse(k0zz)
 
     k0_st = kx.block_kernel_matrix(spec0, kp0, xb, mask)
     k1_st = kx.block_kernel_matrix(spec1, kp1, xb, mask)
@@ -121,8 +131,7 @@ def gp_block_operators(
     # diag: σ_l² on real samples, 1 on padding (unit pivot ⇒ logdet offset 0).
     diag = mask[None] * noise[:, None, None] + (1.0 - mask)[None]
     b = k1_st + diag[..., None] * jnp.eye(t, dtype=dtype)
-    lb = la.cholesky(b)
-    ib = la.chol_inverse(lb)
+    lb, ib = la.cholesky_and_inverse(b)
 
     ib_k0xz = ib @ k0xz
     k0zx_ib_k0xz = jnp.einsum("lptm,lptn->lmn", k0xz, ib_k0xz)
@@ -285,8 +294,7 @@ def minibatch_kld(
     v = (jnp.exp(log_var_b) * mask[..., None]).transpose(2, 0, 1)
     log_v_masked = (log_var_b * mask[..., None]).transpose(2, 0, 1)
 
-    lh = la.cholesky(H)
-    ih = la.chol_inverse(lh)
+    lh, ih = la.cholesky_and_inverse(H)
 
     ik0zz_m = ops.iK0zz @ m  # [L, M, 1]
     r = jnp.einsum("lptm,lm->lpt", ops.K0xz, ik0zz_m[..., 0]) - mu
@@ -342,10 +350,14 @@ def natural_gradient_update(
     ``iH_new = iH + lr (grad_H + grad_Hᵀ)``; ``H ← iH_new⁻¹``;
     ``m ← H (iH m − lr (grad_m − 2 grad_H m))``. Runs outside autodiff.
     """
-    lh = la.cholesky(H)
-    ih = la.chol_inverse(lh)
+    _, ih = la.cholesky_and_inverse(H)
     ih_new = ih + lr * (ng.grad_H + jnp.swapaxes(ng.grad_H, -1, -2))
-    lih_new = la.cholesky(ih_new)
-    h_new = la.chol_inverse(lih_new)
+    _, h_new = la.cholesky_and_inverse(ih_new)
     m_new = h_new @ (ih @ m - lr * (ng.grad_m - 2.0 * (ng.grad_H @ m)))
+    # Failure containment (no reference equivalent — it would silently NaN):
+    # if a step leaves the PSD cone (inverse-space overshoot in f32), keep the
+    # previous (m, H) for this batch instead of poisoning the whole run.
+    ok = jnp.isfinite(m_new).all() & jnp.isfinite(h_new).all()
+    m_new = jnp.where(ok, m_new, m)
+    h_new = jnp.where(ok, h_new, H)
     return m_new, h_new

@@ -58,3 +58,21 @@ def logdet_from_chol(chol_l: jax.Array, batch_dims: int = 0) -> jax.Array:
 def symmetrize(a: jax.Array) -> jax.Array:
     """0.5 (A + A^T) — the reference symmetrises W (elbo_functions.py:69, 123)."""
     return 0.5 * (a + jnp.swapaxes(a, -1, -2))
+
+
+# Pallas lane-parallel batched Cholesky+inverse for the tiny SPD stacks
+# (lvae_tpu/kernels_pallas/cholesky.py). Toggle for A/B tests and debugging.
+use_pallas_cholesky: bool = True
+
+
+def cholesky_and_inverse(a: jax.Array, jitter: float = 0.0):
+    """(cholesky(A), A⁻¹) in one shot — the pair every GP bound consumes."""
+    if jitter:
+        n = a.shape[-1]
+        a = a + jitter * jnp.eye(n, dtype=a.dtype)
+    if use_pallas_cholesky:
+        from lvae_tpu.kernels_pallas.cholesky import cholesky_inverse
+
+        return cholesky_inverse(a)
+    l = cholesky(a)
+    return l, chol_inverse(l)

@@ -89,8 +89,7 @@ def gp_predict(
     k1_st = kx.block_kernel_matrix(spec1, kp1, xb, mask)
     diag = mask[None] * noise[:, None, None] + (1.0 - mask)[None]
     b = k1_st + diag[..., None] * jnp.eye(t, dtype=dtype)
-    lb = la.cholesky(b)
-    ib = la.chol_inverse(lb)
+    _, ib = la.cholesky_and_inverse(b)
 
     ib_k0xz = ib @ k0xz
     h = k0zz + jnp.einsum("lptm,lptn->lmn", k0xz, ib_k0xz)

@@ -99,10 +99,13 @@ def shard_epoch_batches(
 
 
 class ShardedHensmanTrainer:
-    """HensmanTrainer variant whose state and batches live on a mesh.
+    """HensmanTrainer variant whose state lives on a mesh.
 
-    Drop-in: same epoch program (train/hensman.py); only array *placement*
-    differs, and XLA GSPMD partitions the computation to match.
+    Drop-in: same multi-epoch program (train/hensman.py); only array
+    *placement* differs — [L, ...] leaves over 'latent', dataset/table
+    replicated — and XLA GSPMD partitions the computation to match. The
+    on-device batch gathers inherit a 'data'-axis layout from the KLD
+    contractions, whose subject sums lower to psum over ICI.
     """
 
     def __init__(self, trainer, mesh: Mesh):
@@ -111,30 +114,28 @@ class ShardedHensmanTrainer:
         latent = trainer.cfg.latent_dim
         trainer.tdata = shard_train_data(trainer.tdata, mesh)
         trainer.state = shard_hensman_state(trainer.state, mesh, latent)
+        # the epoch program closes over the block table: replicate it
+        from lvae_tpu.train.hensman import BlockTable, make_epochs_fn
+
+        trainer.table = BlockTable(
+            index=_put(trainer.table.index, mesh, P()),
+            mask=_put(trainer.table.mask, mesh, P()),
+            num_real=trainer.table.num_real,
+        )
+        trainer.epochs_fn = make_epochs_fn(
+            trainer.model, trainer.cfg, trainer.optimizer, trainer.table,
+            trainer.subjects_per_batch,
+        )
+
+    @property
+    def state(self):
+        return self.inner.state
+
+    def run_epochs(self, n: int):
+        return self.inner.run_epochs(n)
 
     def run_epoch(self):
-        from lvae_tpu.data.blocks import epoch_batches
+        return self.inner.run_epoch()
 
-        t = self.inner
-        idx, msk, p_b = epoch_batches(t.blocks, t.subjects_per_batch, t.rng)
-        idx_s, msk_s, pb_s = shard_epoch_batches(
-            idx, msk.astype(np.float32), p_b.astype(np.float32), self.mesh
-        )
-        t.state, metrics = t.epoch_fn(t.state, t.tdata, idx_s, msk_s, pb_s)
-        m = jax.tree.map(float, metrics)
-        t.history.append(m)
-        return m
-
-    def fit(self, epochs: int, log_every: int = 1, callback=None):
-        for epoch in range(1, epochs + 1):
-            m = self.run_epoch()
-            if log_every and epoch % log_every == 0:
-                print(
-                    "Iter %d/%d - Loss: %.3f  - GP loss: %.3f  - NLL Loss: %.3f"
-                    "  - Recon Loss: %.3f"
-                    % (epoch, epochs, m.net, m.kld, m.nll, m.recon),
-                    flush=True,
-                )
-            if callback is not None:
-                callback(self, epoch, m)
-        return self.inner.history
+    def fit(self, epochs: int, log_every: int = 1, callback=None, chunk: int = 25):
+        return self.inner.fit(epochs, log_every, callback, chunk)

@@ -170,7 +170,7 @@ class LVAEPipeline:
     def _epoch_callback(self, trainer, epoch, metrics):
         cfg = self.cfg
         self.metrics.log(epoch, metrics._asdict() if hasattr(metrics, "_asdict") else dict(metrics))
-        if epoch % cfg.checkpoint_every or epoch == cfg.epochs:
+        if epoch == cfg.epochs:
             return
         if self.validation_dataset is None:
             return
@@ -195,18 +195,19 @@ class LVAEPipeline:
         if self.trainer is None:
             self.build_trainer()
         start = time.perf_counter()
+        fit_kwargs = dict(log_every=1, callback=self._epoch_callback)
+        try:
+            fit_kwargs["chunk"] = max(1, self.cfg.checkpoint_every)
+        except TypeError:
+            pass
         if self.cfg.profile:
             # jax.profiler trace (replaces the reference's wall-clock-only
             # timing, LVAE.py:304-337); view with tensorboard/xprof
             out = self.cfg.results_path or self.cfg.save_path
             with jax.profiler.trace(os.path.join(out, "profile")):
-                self.trainer.fit(
-                    self.cfg.epochs, log_every=1, callback=self._epoch_callback
-                )
+                self.trainer.fit(self.cfg.epochs, **fit_kwargs)
         else:
-            self.trainer.fit(
-                self.cfg.epochs, log_every=1, callback=self._epoch_callback
-            )
+            self.trainer.fit(self.cfg.epochs, **fit_kwargs)
         dur = time.perf_counter() - start
         print(f"Duration of training: {dur:.2f} seconds")
         if self.cfg.memory_dbg:

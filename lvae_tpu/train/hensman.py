@@ -3,9 +3,11 @@
 TPU-native rebuild of the reference's primary regime, ``hensman_training``
 (training.py:15-237 in SidRama/Longitudinal-VAE). Differences by design:
 
-* The whole epoch is ONE jitted program: a ``lax.scan`` over precomputed
-  static-shape subject batches. The reference's per-batch Python loop with
-  host→device copies becomes a device-side gather from resident arrays.
+* Whole epochs — and multi-epoch chunks — are ONE jitted program: subject
+  permutations are drawn ON DEVICE from the carried PRNG key and batches are
+  gathers from resident arrays. (The reference's per-batch Python loop ships
+  every batch host→device; on a remote-attached TPU each transfer costs a
+  full round trip, which dominated early profiles of this trainer.)
 * The natural-gradient update of (m, H) (training.py:129-135) happens inside
   the scanned step — no host round trip between batches.
 * Fixed-T and varying-T cohorts share one code path via padded blocks +
@@ -17,14 +19,13 @@ TPU-native rebuild of the reference's primary regime, ``hensman_training``
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from lvae_tpu.data.blocks import epoch_batches
 from lvae_tpu.models import vae as mv
 from lvae_tpu.ops import elbo as eb
 from lvae_tpu.ops import kernels as kx
@@ -53,6 +54,15 @@ class StepMetrics(NamedTuple):
     recon: jax.Array
     nll: jax.Array
     kld: jax.Array
+
+
+class BlockTable(NamedTuple):
+    """Device-resident padded subject-block table (P padded to a multiple of
+    the batch size; ghost rows carry zero mask)."""
+
+    index: jax.Array  # [P_pad, T] int32
+    mask: jax.Array  # [P_pad, T]
+    num_real: int  # true subject count P
 
 
 def _noise_from(gp: st.GPParams, cfg: HensmanConfig) -> jax.Array:
@@ -129,25 +139,37 @@ def batch_loss(
     return net, (metrics, ng)
 
 
-def make_epoch_fn(model, cfg: HensmanConfig, optimizer):
-    """Build the jitted epoch runner.
+def make_epochs_fn(
+    model,
+    cfg: HensmanConfig,
+    optimizer,
+    table: BlockTable,
+    subjects_per_batch: int,
+):
+    """Build the jitted multi-epoch runner.
 
-    Returns ``epoch_fn(state, tdata, idx [B,S,T], bmask [B,S,T],
-    p_batch [B]) -> (state, StepMetrics)`` with metrics averaged over the
-    epoch's batches (the reference accumulates ``loss/n_batches``,
-    training.py:137-140).
+    Returns ``epochs_fn(state, tdata, n_epochs) -> (state, StepMetrics[E])``.
+    ``n_epochs`` is static (one compile per distinct chunk size). Per epoch a
+    fresh on-device subject permutation is drawn from the carried key; ghost
+    rows fill the ragged tail so every batch is ``[S, T]``.
     """
+    p_pad, t_len = table.index.shape
+    s = subjects_per_batch
+    n_batches = p_pad // s
+    p_real = table.num_real
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def epoch_fn(state, tdata, idx, bmask, p_batch):
-        def step(state, batch):
-            b_idx, b_mask, b_p = batch
+    @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+    def epochs_fn(state, tdata, n_epochs: int):
+        def step(state, order_rows):
+            b_idx = jnp.take(table.index, order_rows, axis=0)
+            b_mask = jnp.take(table.mask, order_rows, axis=0)
+            p_batch = jnp.sum(order_rows < p_real).astype(b_mask.dtype)
             rng, step_key = jax.random.split(state.rng)
 
             grad_fn = jax.value_and_grad(
                 lambda tr: batch_loss(
                     model, cfg, tr, state.m_nat, state.H_nat,
-                    tdata, b_idx, b_mask, b_p, step_key,
+                    tdata, b_idx, b_mask, p_batch, step_key,
                 ),
                 has_aux=True,
             )
@@ -172,19 +194,49 @@ def make_epoch_fn(model, cfg: HensmanConfig, optimizer):
             )
             return new_state, metrics
 
-        state, ms = jax.lax.scan(step, state, (idx, bmask, p_batch))
-        mean = jax.tree.map(lambda a: jnp.mean(a), ms)
-        return state, mean
+        def one_epoch(state, _):
+            rng, perm_key = jax.random.split(state.rng)
+            state = state._replace(rng=rng)
+            perm = jax.random.permutation(perm_key, p_real)
+            if p_pad > p_real:
+                perm = jnp.concatenate(
+                    [perm, jnp.arange(p_real, p_pad, dtype=perm.dtype)]
+                )
+            order = perm.reshape(n_batches, s)
+            state, ms = jax.lax.scan(step, state, order)
+            return state, jax.tree.map(jnp.mean, ms)
 
-    return epoch_fn
+        state, ms = jax.lax.scan(one_epoch, state, None, length=n_epochs)
+        return state, ms
+
+    return epochs_fn
+
+
+def build_block_table(blocks, subjects_per_batch: int, dtype=jnp.float32) -> BlockTable:
+    """Pad the host block table to a batch multiple and move it on device."""
+    p = blocks.num_subjects
+    s = subjects_per_batch
+    n_batches = (p + s - 1) // s
+    p_pad = n_batches * s
+    index = np.zeros((p_pad, blocks.t_max), np.int32)
+    mask = np.zeros((p_pad, blocks.t_max), np.float32)
+    index[:p] = blocks.index
+    mask[:p] = blocks.mask
+    return BlockTable(
+        index=jnp.asarray(index),
+        mask=jnp.asarray(mask, dtype),
+        num_real=p,
+    )
 
 
 class HensmanTrainer:
     """Python-side orchestration: epochs, validation cadence, best tracking.
 
     Mirrors the control flow of training.py:84-237 (per-epoch batch loop,
-    every-25-epoch validation, best-model checkpoints) around the single
-    jitted epoch program.
+    every-25-epoch validation, best-model checkpoints) around the jitted
+    multi-epoch program. ``fit`` dispatches whole chunks of epochs between
+    callbacks — on a remote-attached TPU the dispatch+transfer round trip
+    costs more than several epochs of compute.
     """
 
     def __init__(
@@ -203,9 +255,11 @@ class HensmanTrainer:
         self.cfg = cfg
         self.blocks = blocks
         self.subjects_per_batch = subjects_per_batch
-        self.rng = np.random.default_rng(seed)
         self.optimizer = st.make_optimizer(learning_rate)
-        self.epoch_fn = make_epoch_fn(model, cfg, self.optimizer)
+        self.table = build_block_table(blocks, subjects_per_batch, dtype)
+        self.epochs_fn = make_epochs_fn(
+            model, cfg, self.optimizer, self.table, subjects_per_batch
+        )
         self.dtype = dtype
 
         self.tdata = st.TrainData(
@@ -245,29 +299,35 @@ class HensmanTrainer:
         )
         self.history: list = []
 
-    def run_epoch(self):
-        idx, msk, p_b = epoch_batches(self.blocks, self.subjects_per_batch, self.rng)
-        self.state, metrics = self.epoch_fn(
-            self.state,
-            self.tdata,
-            jnp.asarray(idx),
-            jnp.asarray(msk, self.dtype),
-            jnp.asarray(p_b, self.dtype),
-        )
-        m = jax.tree.map(float, metrics)
-        self.history.append(m)
-        return m
+    def run_epochs(self, n: int):
+        """Run ``n`` epochs in one dispatch; returns per-epoch metrics."""
+        self.state, ms = self.epochs_fn(self.state, self.tdata, n)
+        out = []
+        host = jax.tree.map(np.asarray, ms)
+        for e in range(n):
+            m = jax.tree.map(lambda a: float(a[e]), host)
+            self.history.append(m)
+            out.append(m)
+        return out
 
-    def fit(self, epochs: int, log_every: int = 1, callback=None):
-        for epoch in range(1, epochs + 1):
-            m = self.run_epoch()
-            if log_every and (epoch % log_every == 0):
-                print(
-                    "Iter %d/%d - Loss: %.3f  - GP loss: %.3f  - NLL Loss: %.3f"
-                    "  - Recon Loss: %.3f"
-                    % (epoch, epochs, m.net, m.kld, m.nll, m.recon),
-                    flush=True,
-                )
+    def run_epoch(self):
+        return self.run_epochs(1)[0]
+
+    def fit(self, epochs: int, log_every: int = 1, callback=None, chunk: int = 25):
+        done = 0
+        while done < epochs:
+            n = min(max(chunk, 1), epochs - done)
+            ms = self.run_epochs(n)
+            for i, m in enumerate(ms):
+                epoch = done + i + 1
+                if log_every and (epoch % log_every == 0):
+                    print(
+                        "Iter %d/%d - Loss: %.3f  - GP loss: %.3f"
+                        "  - NLL Loss: %.3f  - Recon Loss: %.3f"
+                        % (epoch, epochs, m.net, m.kld, m.nll, m.recon),
+                        flush=True,
+                    )
+            done += n
             if callback is not None:
-                callback(self, epoch, m)
+                callback(self, done, ms[-1])
         return self.history

@@ -236,7 +236,8 @@ class StandardTrainer:
         self.history.append(m)
         return m
 
-    def fit(self, epochs: int, log_every: int = 1, callback=None):
+    def fit(self, epochs: int, log_every: int = 1, callback=None, chunk: int = 1):
+        del chunk  # full-batch epochs are already one dispatch each
         for epoch in range(1, epochs + 1):
             m = self.run_epoch()
             if log_every and epoch % log_every == 0:
