@@ -1,0 +1,172 @@
+"""Paper-protocol accuracy benchmark: Health MNIST future-timepoint prediction.
+
+Reproduces the headline L-VAE experiment (poster results table, BASELINE.md):
+train an L-VAE on a cohort of rotating-digit subjects, then — for UNSEEN test
+subjects — observe only the first half of each trajectory (the "prediction"
+set) and predict the full future half via GP posterior regression in latent
+space; report the masked MSE of the decoded future frames. Reference flow:
+LVAE.py:395-421 → MSE_test_GPapprox (model_test.py:85-143) →
+batch_predict_varying_T (utils.py:115-211).
+
+Paper number to beat: L-VAE (latent 32) 0.025 ± 0.0015 on 1000 subjects.
+
+Usage:
+    python benchmarks/healthmnist_accuracy.py [--subjects 100] [--epochs 200]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def split_future(data, labels, mask, t_obs=10, t_total=20):
+    """Per subject: first t_obs rows → observed set, rest → future set."""
+    sel_obs = (labels[:, 0] < t_obs)
+    sel_fut = ~sel_obs
+    from lvae_tpu.data.datasets import ArrayDataset
+
+    def take(sel):
+        return ArrayDataset(data=data[sel], labels=labels[sel], mask=mask[sel])
+
+    return take(sel_obs), take(sel_fut)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--subjects", type=int, default=100, help="training subjects")
+    p.add_argument("--test_subjects", type=int, default=20)
+    p.add_argument("--latent_dim", type=int, default=32)
+    p.add_argument("--M", type=int, default=60)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--pretrain_epochs", type=int, default=40)
+    p.add_argument("--missing", type=float, default=25.0)
+    p.add_argument("--subjects_per_batch", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default=None)
+    a = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from lvae_tpu.data.blocks import build_subject_blocks
+    from lvae_tpu.data.datasets import ArrayDataset
+    from lvae_tpu.data.healthmnist import generate_healthmnist
+    from lvae_tpu.evaluation.encode import encode_dataset
+    from lvae_tpu.evaluation.testing import mse_test_gp_approx
+    from lvae_tpu.models.vae import ConvVAE
+    from lvae_tpu.ops import kernels as kx
+    from lvae_tpu.train import state as st
+    from lvae_tpu.train.hensman import HensmanConfig, HensmanTrainer
+    from lvae_tpu.train.pretrain import VAEPretrainer
+
+    t0 = time.perf_counter()
+    # ---- data: disjoint train and test cohorts (paper protocol)
+    half = a.subjects // 2
+    # models see the MASKED data (25% missing pixels) — imputation setting
+    _, data, mask, labels_df = generate_healthmnist(
+        num_3=half, num_6=a.subjects - half, missing=a.missing, seed=a.seed
+    )
+    t_half = a.test_subjects // 2
+    _, tdata, tmask, tlabels_df = generate_healthmnist(
+        num_3=t_half, num_6=a.test_subjects - t_half, missing=a.missing,
+        seed=a.seed + 1,
+    )
+    from lvae_tpu.data.datasets import HEALTH_LABEL_ORDER
+
+    def to_ds(dat, msk, df, id_offset=0.0):
+        lab = np.nan_to_num(df.apply(__import__("pandas").to_numeric, errors="coerce")
+                            .to_numpy(dtype=np.float64)[:, HEALTH_LABEL_ORDER])
+        lab[:, 2] += id_offset  # keep subject ids disjoint between cohorts
+        return ArrayDataset(
+            data=(dat / 255.0).astype(np.float32).reshape(-1, 36, 36, 1),
+            labels=lab,
+            mask=msk.astype(np.float32),
+        )
+
+    train = to_ds(data, mask, labels_df)
+    test_full = to_ds(tdata, tmask, tlabels_df, id_offset=10000.0)
+    observed, future = split_future(
+        test_full.data, test_full.labels, test_full.mask
+    )
+    print(
+        f"train {len(train)} samples / {a.subjects} subjects; "
+        f"test observed {len(observed)} → predict {len(future)}",
+        flush=True,
+    )
+
+    # ---- model + kernel structure (config/LVAE_config_sample.txt:40-45)
+    model = ConvVAE(latent_dim=a.latent_dim, num_dim=36 * 36, p=0.0)
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2],
+        sqexp_kernel=[0],
+        cat_int_kernel=[
+            {"cont_covariate": 0, "cat_covariate": 2},
+            {"cont_covariate": 0, "cat_covariate": 3},
+            {"cont_covariate": 1, "cat_covariate": 4},
+        ],
+        id_covariate=2,
+    )
+
+    # ---- VAE pre-training (VAE.py flow)
+    pre = VAEPretrainer(model, train, loss_function="mse", dropout=False, seed=a.seed)
+    pre.fit(a.pretrain_epochs, log_every=max(1, a.pretrain_epochs // 4))
+
+    # ---- L-VAE Hensman training
+    blocks = build_subject_blocks(train.labels, id_covariate=2)
+    cfg = HensmanConfig(
+        spec0=spec0, spec1=spec1, latent_dim=a.latent_dim,
+        P_tot=blocks.num_subjects, N_tot=len(train), weight=0.15,
+        loss_function="mse", natural_gradient=True, natural_gradient_lr=0.01,
+        constrain_scales=True, eps=1e-5, dropout=False,
+    )
+    z = st.init_inducing_points(train.labels, a.M, seed=a.seed)
+    trainer = HensmanTrainer(
+        model, cfg, train, blocks, z,
+        subjects_per_batch=a.subjects_per_batch, seed=a.seed,
+    )
+    trainer.state = trainer.state._replace(
+        trainables=trainer.state.trainables._replace(vae=pre.params)
+    )
+    trainer.fit(a.epochs, log_every=max(1, a.epochs // 10), chunk=25)
+
+    # ---- evaluate: observed half of unseen subjects → predict future half
+    tr = trainer.state.trainables
+    noise = jnp.ones_like(tr.gp.raw_noise)  # constrain_scales
+    obs_mu, _ = encode_dataset(model, tr.vae, observed.data)
+    result = mse_test_gp_approx(
+        model, tr.vae, tr.gp, noise, spec0, spec1,
+        future, observed.labels, obs_mu, trainer.tdata.z,
+        id_covariate=2, eps=1e-5, results_path=a.out,
+    )
+    dur = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "healthmnist_future_prediction_mse",
+                "value": round(result.gp_mse, 5),
+                "unit": "masked MSE",
+                "vs_baseline": round(0.025 / result.gp_mse, 3),
+                "extra": {
+                    "vae_recon_mse": round(result.vae_mse, 5),
+                    "paper_lvae_dim32": 0.025,
+                    "subjects": a.subjects,
+                    "epochs": a.epochs,
+                    "wall_s": round(dur, 1),
+                },
+            }
+        ),
+        flush=True,
+    )
+    return result
+
+
+if __name__ == "__main__":
+    main()

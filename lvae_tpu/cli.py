@@ -81,7 +81,30 @@ def _run_vi(cfg) -> int:
     )
     trainer.fit(cfg.epochs, log_every=1)
     if prediction is not None:
-        trainer.optimize_prediction_set(prediction, epochs=1000)
+        mu_pred, _ = trainer.optimize_prediction_set(prediction, epochs=1000)
+        generation = load_dataset(cfg, "generation") if cfg.generate_images else None
+        if generation is not None:
+            # variational_complete_gen (predict_HealthMNIST.py:145-172):
+            # decode GP-predicted latents from the jointly-optimised cohort
+            from lvae_tpu.evaluation.generation import recon_complete_gen
+
+            prediction_x = np.concatenate(
+                [np.asarray(prediction.labels), trainer.labels[trainer.order]], 0
+            )
+            prediction_mu = np.concatenate(
+                [mu_pred, np.asarray(trainer.state.mu)], 0
+            )
+            noise = (
+                jnp.ones((cfg.latent_dim,))
+                if cfg.constrain_scales
+                else kx.constrain(trainer.state.gp.raw_noise)
+            )
+            recon_complete_gen(
+                generation, model, trainer.state.vae, trainer.state.gp,
+                noise, spec0, spec1, prediction_x, prediction_mu,
+                z, cfg.id_covariate, cfg.results_path or cfg.save_path,
+                epoch=cfg.epochs, eps=cfg.eps,
+            )
     return 0
 
 
@@ -108,9 +131,17 @@ def main_pretrain(argv) -> int:
         model, dataset, loss_function=cfg.loss_function,
         learning_rate=cfg.learning_rate, dropout=cfg.dropout > 0, seed=cfg.seed,
     )
+    test_dataset = load_dataset(cfg, "test") if cfg.run_tests else None
 
     def callback(trainer, epoch, metrics):
+        # VAE.py:378-383: periodic test MSE + reconstruction plot + checkpoint
         if epoch % 25 == 0:
+            if cfg.run_tests and test_dataset is not None:
+                from lvae_tpu.evaluation.generation import vae_output
+                from lvae_tpu.evaluation.testing import vae_test
+
+                vae_test(model, trainer.params, test_dataset)
+                vae_output(model, trainer.params, dataset, epoch, cfg.save_path)
             save_checkpoint(
                 os.path.join(cfg.save_path, f"model_params_vae_{epoch}.ckpt"),
                 trainer.params,
