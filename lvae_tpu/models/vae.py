@@ -40,14 +40,26 @@ def floored_log_vy(raw_log_vy: jax.Array) -> jax.Array:
 
 
 class ConvVAE(nn.Module):
-    """Convolutional VAE for 36×36 single-channel images (VAE.py:16-162)."""
+    """Convolutional VAE for single-channel images (VAE.py:16-162).
+
+    The reference hardcodes 36×36 inputs (fc1 expects 32·9·9 features,
+    VAE.py:55 — its conv path would crash on the 28×28 Rotated MNIST it
+    nominally supports). Here the spatial size is a field: ``image_hw`` must
+    be divisible by 4 (two 2× pools).
+    """
 
     latent_dim: int
     num_dim: int = 36 * 36
     vy_init: float = 1.0
     p_input: float = 0.2  # stored for config parity; unused in the reference
     p: float = 0.5
+    image_hw: int = 36
     dtype: Any = jnp.float32
+
+    @property
+    def _feat_hw(self) -> int:
+        assert self.image_hw % 4 == 0, "image_hw must be divisible by 4"
+        return self.image_hw // 4
 
     def setup(self):
         self.conv1 = nn.Conv(16, (3, 3), padding="SAME", dtype=self.dtype)
@@ -58,7 +70,7 @@ class ConvVAE(nn.Module):
         self.fc221 = nn.Dense(self.latent_dim, dtype=self.dtype)
         self.fc3 = nn.Dense(30, dtype=self.dtype)
         self.fc31 = nn.Dense(300, dtype=self.dtype)
-        self.fc4 = nn.Dense(32 * 9 * 9, dtype=self.dtype)
+        self.fc4 = nn.Dense(32 * self._feat_hw * self._feat_hw, dtype=self.dtype)
         self.deconv1 = nn.ConvTranspose(16, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype)
         self.deconv2 = nn.ConvTranspose(1, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype)
         # spatial (channel-wise) dropout ≡ torch Dropout2d (VAE.py:48-53)
@@ -80,7 +92,7 @@ class ConvVAE(nn.Module):
         h = self.drop2d(nn.max_pool(h, (2, 2), strides=(2, 2)), deterministic=deterministic)
         h = nn.relu(self.conv2(h))
         h = self.drop2d(nn.max_pool(h, (2, 2), strides=(2, 2)), deterministic=deterministic)
-        h = h.reshape(h.shape[0], -1)  # [N, 9*9*32]
+        h = h.reshape(h.shape[0], -1)  # [N, (hw/4)^2 * 32]
         h = self.drop(nn.relu(self.fc1(h)), deterministic=deterministic)
         h = self.drop(nn.relu(self.fc21(h)), deterministic=deterministic)
         return self.fc211(h), self.fc221(h)
@@ -91,7 +103,7 @@ class ConvVAE(nn.Module):
         h = self.drop(nn.relu(self.fc3(z)), deterministic=deterministic)
         h = self.drop(nn.relu(self.fc31(h)), deterministic=deterministic)
         h = nn.relu(self.fc4(h))
-        h = h.reshape(h.shape[0], 9, 9, 32)
+        h = h.reshape(h.shape[0], self._feat_hw, self._feat_hw, 32)
         h = self.drop2d(h, deterministic=deterministic)
         h = self.drop2d(nn.relu(self.deconv1(h)), deterministic=deterministic)
         return nn.sigmoid(self.deconv2(h))
@@ -199,12 +211,15 @@ def make_vae(
 ):
     """Factory matching the reference's model selection (LVAE.py:137-143)."""
     if type_nnet == "conv":
+        hw = int(round(num_dim ** 0.5))
+        assert hw * hw == num_dim, f"conv model needs square images, got {num_dim}"
         return ConvVAE(
             latent_dim=latent_dim,
             num_dim=num_dim,
             vy_init=vy_init,
             p=dropout,
             p_input=dropout_input,
+            image_hw=hw,
             dtype=dtype,
         )
     if type_nnet == "simple":

@@ -49,6 +49,9 @@ class KernelComponent(NamedTuple):
     ``eq_cols``  — columns compared with equality (categorical factors).
     ``and_cols`` — columns where both inputs must equal 1 (binary factors,
                    including missing-value mask columns).
+    ``cat_mod``  — optional centred categorical factor ``(col, num_classes)``:
+                   1 if equal else -1/(num-1) (the reference's ``CatKernelMod``,
+                   kernel_spec.py:35-55, arXiv:1912.03549). ``(-1, 0)`` = none.
     ``kind``     — informational tag for introspection/serialisation.
     """
 
@@ -56,6 +59,7 @@ class KernelComponent(NamedTuple):
     rbf_col: int
     eq_cols: Tuple[int, ...]
     and_cols: Tuple[int, ...]
+    cat_mod: Tuple[int, int] = (-1, 0)
 
 
 class KernelSpec(NamedTuple):
@@ -135,6 +139,11 @@ def _component_base(
         disc = d if disc is None else disc * d
     for col in comp.and_cols:
         d = ((x1[:, col, None] + x2[None, :, col]) == 2.0).astype(dtype)
+        disc = d if disc is None else disc * d
+    if comp.cat_mod[0] >= 0:
+        col, num = comp.cat_mod
+        eq = x1[:, col, None] == x2[None, :, col]
+        d = jnp.where(eq, 1.0, -1.0 / (num - 1)).astype(dtype)
         disc = d if disc is None else disc * d
     sqdist = None
     if comp.rbf_col >= 0:

@@ -88,9 +88,26 @@ class LVAEPipeline:
 
     # ---------------------------------------------------------------- setup
     def _load_pretrained_vae(self, trainer) -> None:
-        """LVAE.py:146-150: seed the VAE from a pre-training checkpoint."""
+        """LVAE.py:146-150: seed the VAE from a pre-training checkpoint.
+
+        Accepts both this framework's ``.ckpt`` pytree snapshots and the
+        reference's torch ``.pth`` state_dicts (converted via
+        utils.torch_compat) so reference users can migrate trained VAEs.
+        """
         path = self.cfg.model_params
-        ckpt = try_load_checkpoint(path) if path and os.path.exists(path) else None
+        ckpt = None
+        if path and os.path.exists(path):
+            if path.endswith(".pth"):
+                try:
+                    from lvae_tpu.utils.torch_compat import load_torch_vae_checkpoint
+
+                    ckpt = load_torch_vae_checkpoint(
+                        path, self.cfg.type_nnet, self.cfg.latent_dim
+                    )
+                except Exception as e:  # noqa: BLE001
+                    print(f"torch checkpoint conversion failed: {e}")
+            else:
+                ckpt = try_load_checkpoint(path)
         if ckpt is None:
             print("Did not load pre-trained values.")
             return

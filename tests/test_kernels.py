@@ -151,3 +151,16 @@ def test_empty_spec_is_zero():
     k = kx.kernel_matrix(spec, kp, x, x)
     assert k.shape == (2, 2, 2)
     assert np.all(np.asarray(k) == 0)
+
+
+def test_cat_mod_kernel_hand():
+    """Centred categorical kernel (kernel_spec.py:35-55): 1 if equal,
+    -1/(num-1) otherwise."""
+    comp = kx.KernelComponent(kind="cat_mod", rbf_col=-1, eq_cols=(), and_cols=(),
+                              cat_mod=(0, 4))
+    spec = kx.KernelSpec(components=(comp,))
+    kp = params_with(spec, [1.0])
+    x1 = jnp.asarray([[0.0], [1.0]])
+    x2 = jnp.asarray([[0.0], [2.0]])
+    k = np.asarray(kx.kernel_matrix(spec, kp, x1, x2))
+    np.testing.assert_allclose(k, [[1.0, -1 / 3], [-1 / 3, -1 / 3]], rtol=1e-12)

@@ -156,3 +156,54 @@ def test_reference_flag_file_loads():
     assert cfg.latent_dim == 32 and cfg.M == 60 and cfg.hensman
     assert cfg.cat_int_kernel[0] == {"cont_covariate": 0, "cat_covariate": 2}
     cfg.validate()
+
+
+def test_pipeline_physionet_simple(tmp_path):
+    """Physionet-style flow: SimpleVAE on flat readings with outcome-mask
+    labels (dataset_def.py:8-44 + LVAE.py:69-70 dispatch)."""
+    rng = np.random.default_rng(3)
+    subj, t, d = 6, 4, 12
+    n = subj * t
+    q = 10
+    labels = np.zeros((n, 2 * q))
+    labels[:, 0] = np.tile(np.arange(t), subj)  # time
+    labels[:, 2] = np.repeat(np.arange(subj), t)  # id covariate
+    labels[:, 3] = np.repeat(rng.integers(0, 2, subj), t)
+    ds = ArrayDataset(
+        data=rng.normal(size=(n, d)).astype(np.float32),
+        labels=labels,
+        mask=rng.integers(0, 2, size=(n, d)).astype(np.float32),
+    )
+    cfg = make_cfg(
+        str(tmp_path), dataset_type="Physionet", type_nnet="simple",
+        num_dim=d, latent_dim=3, M=6, P=subj, T=t, epochs=2,
+        subjects_per_batch=3, run_tests=False, run_validation=False,
+        generate_images=False,
+    )
+    pipeline = LVAEPipeline(cfg, {"train": ds})
+    pipeline.build_trainer()
+    hist = pipeline.train()
+    assert np.isfinite(hist[-1].net)
+
+
+def test_pipeline_torch_pth_vae_seed(tmp_path):
+    """model_params=*.pth loads a reference torch VAE checkpoint."""
+    torch = pytest.importorskip("torch")
+    from tests.test_torch_compat import TorchSimpleVAE
+
+    tm = TorchSimpleVAE(num_dim=1296)
+    # reference latent dim must match the config below
+    tm.fc211 = torch.nn.Linear(30, 4)
+    tm.fc221 = torch.nn.Linear(30, 4)
+    pth = str(tmp_path / "model_params_vae.pth")
+    torch.save(tm.state_dict(), pth)
+    cfg = make_cfg(
+        str(tmp_path), type_nnet="simple", epochs=1, run_tests=False,
+        run_validation=False, generate_images=False, model_params=pth,
+    )
+    pipeline = LVAEPipeline(cfg, {"train": healthmnist_like(seed=0)})
+    trainer = pipeline.build_trainer()
+    got = np.asarray(trainer.state.trainables.vae["params"]["fc1"]["kernel"])
+    np.testing.assert_allclose(
+        got, tm.fc1.weight.detach().numpy().T, atol=1e-6
+    )
