@@ -208,6 +208,9 @@ def make_vae(
     dropout: float = 0.5,
     dropout_input: float = 0.2,
     dtype=jnp.float32,
+    T: Optional[int] = None,
+    hidden_dim: int = 64,
+    type_rnn: str = "lstm",
 ):
     """Factory matching the reference's model selection (LVAE.py:137-143)."""
     if type_nnet == "conv":
@@ -226,4 +229,15 @@ def make_vae(
         return SimpleVAE(
             latent_dim=latent_dim, num_dim=num_dim, vy_init=vy_init, dtype=dtype
         )
-    raise ValueError(f"Unknown type_nnet {type_nnet!r} (expected 'conv' or 'simple')")
+    if type_nnet == "rnn":
+        from lvae_tpu.models.rnn import RNNVAE
+
+        assert T is not None and T > 0, "type_nnet='rnn' requires T"
+        return RNNVAE(
+            latent_dim=latent_dim, num_dim=num_dim, T=T,
+            hidden_dim=hidden_dim, type_rnn=type_rnn, vy_init=vy_init,
+            dtype=dtype,
+        )
+    raise ValueError(
+        f"Unknown type_nnet {type_nnet!r} (expected 'conv', 'simple' or 'rnn')"
+    )

@@ -77,6 +77,7 @@ class LVAEPipeline:
             cfg.type_nnet, cfg.latent_dim, self.num_dim,
             vy_init=cfg.vy_init, dropout=cfg.dropout,
             dropout_input=cfg.dropout_input, dtype=self.dtype,
+            T=cfg.T or None, hidden_dim=cfg.hidden_dim, type_rnn=cfg.type_rnn,
         )
         self.spec0, self.spec1 = kx.split_kernel_spec(
             id_covariate=cfg.id_covariate, **cfg.kernel_spec_kwargs()

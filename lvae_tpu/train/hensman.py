@@ -272,7 +272,8 @@ class HensmanTrainer:
         # init state
         key = jax.random.key(seed)
         k_init, k_state = jax.random.split(key)
-        sample_x = self.tdata.data[:2]
+        # one full subject block — sequence models (RNN) need T-aligned input
+        sample_x = self.tdata.data[: blocks.t_max]
         vae_params = jax.jit(
             lambda k, x: model.init(k, x, deterministic=True)
         )(k_init, sample_x)

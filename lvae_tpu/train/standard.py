@@ -212,7 +212,7 @@ class StandardTrainer:
         key = jax.random.key(seed)
         k_init, k_state = jax.random.split(key)
         vae_params = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
-            k_init, self.tdata.data[:2]
+            k_init, self.tdata.data[: blocks.t_max]
         )
         gp = st.init_gp_params(
             cfg.spec0 if cfg.type_KL != "closed" else cfg.spec0,

@@ -128,3 +128,22 @@ def test_pretrain_conv_smoke():
     pre = tp.VAEPretrainer(model, ds, batch_size=6, dropout=False)
     m = pre.run_epoch()
     assert np.isfinite(m.loss)
+
+
+@pytest.mark.parametrize("type_rnn", ["lstm", "gru"])
+def test_hensman_rnn_encoder(type_rnn):
+    """The RNN encoder family (flags at parse_model_args.py:46,59-62 — never
+    implemented in the reference) trains under the Hensman regime."""
+    from lvae_tpu.models.rnn import RNNVAE
+
+    ds = tiny_cohort(p=6, t=4)
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    cfg = make_cfg(True)
+    model = RNNVAE(latent_dim=cfg.latent_dim, num_dim=20, T=4,
+                   hidden_dim=16, type_rnn=type_rnn)
+    z = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+    trainer = th.HensmanTrainer(model, cfg, ds, blocks, z, subjects_per_batch=3)
+    first = trainer.run_epoch()
+    for _ in range(6):
+        last = trainer.run_epoch()
+    assert np.isfinite(last.net) and last.net < first.net
