@@ -130,6 +130,7 @@ def main_pretrain(argv) -> int:
     pre = VAEPretrainer(
         model, dataset, loss_function=cfg.loss_function,
         learning_rate=cfg.learning_rate, dropout=cfg.dropout > 0, seed=cfg.seed,
+        vy_fixed=cfg.vy_fixed,
     )
     test_dataset = load_dataset(cfg, "test") if cfg.run_tests else None
 

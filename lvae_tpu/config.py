@@ -109,6 +109,7 @@ class LVAEConfig:
     latent_mesh: int = 1  # devices on the 'latent' mesh axis
     checkpoint_every: int = 25
     profile: bool = False
+    debug_nans: bool = False  # raise with diagnostics if state degrades
 
     def kernel_spec_kwargs(self) -> Dict[str, Any]:
         return dict(

@@ -133,7 +133,7 @@ class LVAEPipeline:
                 natural_gradient=cfg.natural_gradient,
                 natural_gradient_lr=cfg.natural_gradient_lr,
                 constrain_scales=cfg.constrain_scales, eps=cfg.eps,
-                dropout=cfg.dropout > 0,
+                dropout=cfg.dropout > 0, vy_fixed=cfg.vy_fixed,
             )
             self.trainer = HensmanTrainer(
                 self.model, hcfg, self.dataset, self.blocks, z,
@@ -149,7 +149,7 @@ class LVAEPipeline:
                 weight=cfg.weight, loss_function=cfg.loss_function,
                 type_KL=cfg.type_KL, num_samples=cfg.num_samples,
                 constrain_scales=cfg.constrain_scales, eps=cfg.eps,
-                dropout=cfg.dropout > 0,
+                dropout=cfg.dropout > 0, vy_fixed=cfg.vy_fixed,
             )
             if cfg.type_KL == "closed":
                 spec_full = kx.KernelSpec(
@@ -188,6 +188,10 @@ class LVAEPipeline:
     def _epoch_callback(self, trainer, epoch, metrics):
         cfg = self.cfg
         self.metrics.log(epoch, metrics._asdict() if hasattr(metrics, "_asdict") else dict(metrics))
+        if cfg.debug_nans:
+            from lvae_tpu.utils.debug import assert_state_finite
+
+            assert_state_finite(trainer.state.trainables, where=f"epoch {epoch}")
         if epoch == cfg.epochs:
             return
         if self.validation_dataset is None:

@@ -47,6 +47,7 @@ class HensmanConfig(NamedTuple):
     constrain_scales: bool
     eps: float
     dropout: bool  # apply dropout in training forward passes
+    vy_fixed: bool = False  # freeze the observation noise (VAE.py:41-42)
 
 
 class StepMetrics(NamedTuple):
@@ -101,6 +102,8 @@ def batch_loss(
         rngs={"dropout": k_drop},
     )
     raw_log_vy = trainables.vae["params"]["raw_log_vy"]
+    if cfg.vy_fixed:
+        raw_log_vy = jax.lax.stop_gradient(raw_log_vy)
     mse_i, nll_i = mv.vae_loss(raw_log_vy, recon, x, pixmask)
     recon_loss = jnp.sum(mse_i * valid)
     nll_loss = jnp.sum(nll_i * valid)

@@ -38,14 +38,18 @@ def std_normal_kld(mu: jax.Array, log_var: jax.Array) -> jax.Array:
     return -0.5 * jnp.sum(1.0 + log_var - mu * mu - jnp.exp(log_var), axis=1)
 
 
-def make_pretrain_epoch_fn(model, optimizer, loss_function: str, dropout: bool):
+def make_pretrain_epoch_fn(model, optimizer, loss_function: str, dropout: bool,
+                           vy_fixed: bool = False):
     def batch_loss(params, x, pixmask, rng):
         k_drop, k_sample = jax.random.split(rng)
         recon, mu, log_var = model.apply(
             params, x, rng=k_sample,
             deterministic=not dropout, rngs={"dropout": k_drop},
         )
-        mse_i, nll_i = mv.vae_loss(params["params"]["raw_log_vy"], recon, x, pixmask)
+        raw_log_vy = params["params"]["raw_log_vy"]
+        if vy_fixed:
+            raw_log_vy = jax.lax.stop_gradient(raw_log_vy)
+        mse_i, nll_i = mv.vae_loss(raw_log_vy, recon, x, pixmask)
         kld_i = std_normal_kld(mu, log_var)
         if loss_function == "nll":
             loss = jnp.sum(nll_i + kld_i)
@@ -90,6 +94,7 @@ class VAEPretrainer:
         seed: int = 0,
         batch_size: int = 256,
         dtype=jnp.float32,
+        vy_fixed: bool = False,
     ):
         self.model = model
         self.data = jnp.asarray(dataset.data, dtype)
@@ -98,7 +103,7 @@ class VAEPretrainer:
         self.batch_size = min(self.n, batch_size)
         self.optimizer = optax.adam(learning_rate)
         self.epoch_fn = make_pretrain_epoch_fn(
-            model, self.optimizer, loss_function, dropout
+            model, self.optimizer, loss_function, dropout, vy_fixed
         )
         self.rng = np.random.default_rng(seed)
         key = jax.random.key(seed)

@@ -49,6 +49,7 @@ class StandardConfig(NamedTuple):
     constrain_scales: bool
     eps: float
     dropout: bool
+    vy_fixed: bool = False
 
 
 class StandardState(NamedTuple):
@@ -86,6 +87,8 @@ def full_batch_loss(
         lambda x: encoder(x, rng=k_sample)
     )(tdata.data)
     raw_log_vy = trainables.vae["params"]["raw_log_vy"]
+    if cfg.vy_fixed:
+        raw_log_vy = jax.lax.stop_gradient(raw_log_vy)
     mse_i, nll_i = mv.vae_loss(raw_log_vy, recon, tdata.data, tdata.pixmask)
     recon_loss = jnp.sum(mse_i)
     nll_loss = jnp.sum(nll_i)

@@ -76,3 +76,31 @@ def test_state_sharding_layout():
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(16, 1)  # more than the 8 virtual devices
+
+
+def test_global_mesh_helper():
+    from lvae_tpu.parallel.distributed import initialize_distributed, make_global_mesh
+
+    assert initialize_distributed() == 8  # no coordinator → local devices
+    mesh = make_global_mesh(latent=2)
+    assert dict(mesh.shape) == {"data": 4, "latent": 2}
+
+
+def test_debug_health_and_finite_guard():
+    import jax.numpy as jnp
+
+    from lvae_tpu.ops import elbo as eb
+    from lvae_tpu.utils.debug import assert_state_finite, gp_health
+    from tests.test_elbo import EPS, make_problem
+
+    pr = make_problem(np.random.default_rng(0))
+    ops = eb.gp_block_operators(
+        pr["spec0"], pr["spec1"], pr["kp0"], pr["kp1"], pr["noise"],
+        pr["xb"], pr["z"], pr["mask"], eps=EPS,
+    )
+    h = gp_health(ops)
+    assert bool(h["finite_B"]) and float(h["min_LB_pivot"]) > 0
+
+    assert_state_finite({"a": jnp.ones(3)})  # fine
+    with pytest.raises(FloatingPointError, match="Non-finite"):
+        assert_state_finite({"a": jnp.asarray([1.0, float("nan")])}, where="test")

@@ -147,3 +147,47 @@ def test_hensman_rnn_encoder(type_rnn):
     for _ in range(6):
         last = trainer.run_epoch()
     assert np.isfinite(last.net) and last.net < first.net
+
+
+def test_vi_regime_two_phase():
+    """Amortisation-free VI (training.py:602-764): train-set phase decreases
+    the loss; prediction-set phase returns finite optimised moments."""
+    from lvae_tpu.train.vi import VIConfig, VITrainer
+
+    ds = tiny_cohort(p=6, t=4)
+    pred = tiny_cohort(p=3, t=4, seed=5)
+    pred.labels[:, 2] += 100  # disjoint subject ids
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2], sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+        id_covariate=2,
+    )
+    model = mv.SimpleVAE(latent_dim=3, num_dim=20)
+    params = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
+        jax.random.key(0), jnp.asarray(ds.data[:2])
+    )
+    gp = st.init_gp_params(spec0, spec1, 3, constrain_scales=True)
+    z = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+    cfg = VIConfig(spec0=spec0, spec1=spec1, latent_dim=3, weight=0.5,
+                   loss_function="mse", constrain_scales=True, eps=1e-5)
+    trainer = VITrainer(model, cfg, ds, blocks, z, params, gp)
+    hist = trainer.fit(15, log_every=0)
+    assert hist[-1]["net"] < hist[0]["net"]
+    mu_pred, lv_pred = trainer.optimize_prediction_set(pred, epochs=10, log_every=0)
+    assert np.isfinite(mu_pred).all() and np.isfinite(lv_pred).all()
+    assert mu_pred.shape == (len(pred), 3)
+
+
+def test_vy_fixed_freezes_observation_noise():
+    """vy_fixed stops gradients on the observation noise (VAE.py:41-42)."""
+    ds = tiny_cohort()
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    cfg = make_cfg(True, loss_function="nll")._replace(vy_fixed=True)
+    model = mv.SimpleVAE(latent_dim=cfg.latent_dim, num_dim=20)
+    z = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+    trainer = th.HensmanTrainer(model, cfg, ds, blocks, z, subjects_per_batch=3)
+    before = np.asarray(trainer.state.trainables.vae["params"]["raw_log_vy"])
+    trainer.run_epochs(3)
+    after = np.asarray(trainer.state.trainables.vae["params"]["raw_log_vy"])
+    np.testing.assert_array_equal(before, after)
