@@ -25,10 +25,9 @@ collectives. The same code runs on 1 chip (trivial mesh) or a pod slice.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -75,26 +74,6 @@ def shard_hensman_state(
     """Place the training state: GP/[L,...] leaves over 'latent', rest replicated."""
     return jax.tree.map(
         lambda x: _shard_latent_leaf(x, mesh, latent_dim), state
-    )
-
-
-def shard_epoch_batches(
-    idx: np.ndarray, msk: np.ndarray, p_batch: np.ndarray, mesh: Mesh
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Shard the epoch's batch tables over subjects (axis 1 of [B, S, T]).
-
-    S must divide by the data-axis size; callers pick subjects_per_batch
-    accordingly (ghost subjects already pad the tail batch).
-    """
-    n_data = mesh.shape["data"]
-    if idx.shape[1] % n_data:
-        raise ValueError(
-            f"subjects_per_batch={idx.shape[1]} must divide data axis {n_data}"
-        )
-    return (
-        _put(jnp.asarray(idx), mesh, P(None, "data", None)),
-        _put(jnp.asarray(msk), mesh, P(None, "data", None)),
-        _put(jnp.asarray(p_batch), mesh, P()),
     )
 
 

@@ -10,8 +10,7 @@ concatenated cohorts — pure latent-space inference for unseen sequences.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, NamedTuple, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -186,7 +185,6 @@ class VITrainer:
         )
         block_mask = jnp.asarray(jblocks.mask, dtype)
         jindex = jnp.asarray(jblocks.index.reshape(-1))
-        n_pred = prediction_dataset.data.shape[0]
 
         data_pred = jnp.asarray(prediction_dataset.data, dtype)
         pixmask_pred = jnp.asarray(prediction_dataset.mask, dtype)

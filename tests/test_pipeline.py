@@ -207,3 +207,25 @@ def test_pipeline_torch_pth_vae_seed(tmp_path):
     np.testing.assert_allclose(
         got, tm.fc1.weight.detach().numpy().T, atol=1e-6
     )
+
+
+def test_pipeline_ragged_cohort_with_tests(tmp_path):
+    """varying_T end-to-end: ragged subjects through training AND the GP
+    prediction/test path (the reference's minibatch_KLD_upper_bound_iter +
+    batch_predict_varying_T flows)."""
+    ds = healthmnist_like(p=6, t=5, seed=0)
+    keep = np.ones(len(ds), bool)
+    keep[[4, 9, 14, 27]] = False
+    ragged = ArrayDataset(ds.data[keep], ds.labels[keep], ds.mask[keep])
+    cfg = make_cfg(
+        str(tmp_path), varying_T=True, epochs=2, run_validation=False,
+        generate_images=False, run_tests=True, checkpoint_every=10,
+    )
+    datasets = {
+        "train": ragged,
+        "test": healthmnist_like(p=3, t=5, seed=2),
+        "prediction": ragged,
+    }
+    pipeline = LVAEPipeline(cfg, datasets)
+    result = pipeline.run()
+    assert np.isfinite(result.vae_mse) and np.isfinite(result.gp_mse)
