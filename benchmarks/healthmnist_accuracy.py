@@ -71,13 +71,12 @@ def main(argv=None):
     # ---- data: disjoint train and test cohorts (paper protocol)
     half = a.subjects // 2
     # models see the MASKED data (25% missing pixels) — imputation setting
-    _, data, mask, labels_df = generate_healthmnist(
+    full_data, data, mask, labels_df = generate_healthmnist(
         num_3=half, num_6=a.subjects - half, missing=a.missing, seed=a.seed
     )
-    t_half = a.test_subjects // 2
-    _, tdata, tmask, tlabels_df = generate_healthmnist(
-        num_3=t_half, num_6=a.test_subjects - t_half, missing=a.missing,
-        seed=a.seed + 1,
+    tfull, tdata, tmask, tlabels_df = generate_healthmnist(
+        num_3=a.test_subjects // 2, num_6=a.test_subjects - a.test_subjects // 2,
+        missing=a.missing, seed=a.seed + 1,
     )
     from lvae_tpu.data.datasets import HEALTH_LABEL_ORDER
 
@@ -146,6 +145,20 @@ def main(argv=None):
         future, observed.labels, obs_mu, trainer.tdata.z,
         id_covariate=2, eps=1e-5, results_path=a.out,
     )
+
+    # ---- missing-pixel imputation: reconstruct the test subjects' frames and
+    # score ONLY the pixels the model never saw (ground truth from the
+    # generator). The paper's other headline capability (README.MD:7).
+    test_full_truth = (tfull / 255.0).astype(np.float32).reshape(-1, 36 * 36)
+    recon, _, _ = jax.jit(
+        lambda p_, x_: model.apply(p_, x_, deterministic=True)
+    )(tr.vae, jnp.asarray(test_full.data))
+    recon = np.asarray(recon).reshape(-1, 36 * 36)
+    missing = 1.0 - test_full.mask
+    imput_mse = float(
+        ((recon - test_full_truth) ** 2 * missing).sum() / max(missing.sum(), 1)
+    )
+    print(f"Imputation MSE (missing pixels only): {imput_mse:.5f}")
     dur = time.perf_counter() - t0
     print(
         json.dumps(
@@ -156,6 +169,7 @@ def main(argv=None):
                 "vs_baseline": round(0.025 / result.gp_mse, 3),
                 "extra": {
                     "vae_recon_mse": round(result.vae_mse, 5),
+                    "imputation_mse_missing_pixels": round(imput_mse, 5),
                     "paper_lvae_dim32": 0.025,
                     "subjects": a.subjects,
                     "epochs": a.epochs,
