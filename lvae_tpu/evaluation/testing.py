@@ -8,6 +8,7 @@ paper's HealthMNIST table reports (BASELINE.md).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import NamedTuple, Optional
 
@@ -93,14 +94,29 @@ def mse_test_gp_approx(
     return result
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
 @_full_precision
-def _exact_gp_predict(k_full, k_cross, noise, mu):
-    """Per-dim exact GP regression: ``K(X,x) (K(x,x)+σ²I)⁻¹ μ`` (batched [L])."""
-    n = k_full.shape[-1]
-    k_noisy = k_full + noise[:, None, None] * jnp.eye(n, dtype=k_full.dtype)
-    lk = la.cholesky(k_noisy)
-    sol = la.cho_solve(lk, mu.T[..., None])  # [L, N, 1]
-    return jnp.einsum("lqn,lno->lq", k_cross, sol).T  # [Nq, L]
+def _exact_gp_predict_per_dim(spec_full, gp_params_full, px, tx, noise, mu):
+    """Fully per-dim exact GP regression: kernel build + factorise + predict
+    one latent dim at a time so the dense [N, N] matrices never stack up
+    ([L, 6040, 6040] would exceed HBM)."""
+    n = px.shape[0]
+    eye = jnp.eye(n, dtype=px.dtype)
+
+    def one_dim(args):
+        raw_s, raw_l, noise_l, mu_l = args
+        kp_l = kx.KernelParams(raw_scale=raw_s, raw_lengthscale=raw_l)
+        k_l = kx.kernel_matrix(spec_full, kp_l, px, px)
+        kc_l = kx.kernel_matrix(spec_full, kp_l, tx, px)
+        lk = la.cholesky(k_l + noise_l * eye)
+        sol = la.cho_solve(lk, mu_l[:, None])
+        return kc_l @ sol[:, 0]
+
+    out = jax.lax.map(
+        one_dim,
+        (gp_params_full.raw_scale, gp_params_full.raw_lengthscale, noise, mu.T),
+    )
+    return out.T
 
 
 def mse_test_exact(
@@ -153,10 +169,9 @@ def mse_test_exact(
     dtype = prediction_mu.dtype
     px = jnp.asarray(prediction_x, dtype)
     tx = jnp.asarray(test_dataset.labels, dtype)
-    k_full = kx.kernel_matrix(spec_full, gp_params_full, px, px)
-    k_cross = kx.kernel_matrix(spec_full, gp_params_full, tx, px)
-    z_pred = _exact_gp_predict(
-        k_full, k_cross, jnp.asarray(noise), jnp.asarray(prediction_mu, dtype)
+    z_pred = _exact_gp_predict_per_dim(
+        spec_full, gp_params_full, px, tx,
+        jnp.asarray(noise), jnp.asarray(prediction_mu, dtype),
     )
     recon_gp = decode_latents(model, params, np.asarray(z_pred))
     gp_mse = _masked_mse_mean(model, params, jnp.asarray(recon_gp), data, mask)
