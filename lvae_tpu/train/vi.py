@@ -10,6 +10,7 @@ concatenated cohorts — pure latent-space inference for unseen sequences.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
