@@ -140,6 +140,16 @@ class LVAEPipeline:
                 subjects_per_batch=cfg.subjects_per_batch,
                 learning_rate=cfg.learning_rate, seed=cfg.seed, dtype=self.dtype,
             )
+            if cfg.data_mesh * cfg.latent_mesh > 1:
+                from lvae_tpu.parallel.mesh import (
+                    ShardedHensmanTrainer,
+                    make_mesh,
+                )
+
+                mesh = make_mesh(data=cfg.data_mesh, latent=cfg.latent_mesh)
+                # the sharded wrapper re-places state/table on the mesh and
+                # delegates everything else to the inner trainer
+                ShardedHensmanTrainer(self.trainer, mesh)
         elif cfg.variational_inference_training:
             raise RuntimeError("use run(); VI needs a pre-trained encoder")
         else:

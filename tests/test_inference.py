@@ -1,0 +1,58 @@
+"""Serving API: impute / predict_trajectory on a trained pipeline."""
+
+import numpy as np
+
+from lvae_tpu.inference import LVAEPredictor
+from lvae_tpu.pipeline import LVAEPipeline
+from tests.test_pipeline import healthmnist_like, make_cfg
+
+
+def test_predictor_end_to_end(tmp_path):
+    cfg = make_cfg(str(tmp_path), epochs=2, run_validation=False,
+                   generate_images=False, run_tests=False)
+    ds = healthmnist_like(p=6, t=5, seed=0)
+    pipeline = LVAEPipeline(cfg, {"train": ds})
+    pipeline.build_trainer()
+    pipeline.train()
+    pred = LVAEPredictor.from_pipeline(pipeline)
+
+    # imputation keeps observed pixels bit-exact and fills the rest
+    frames = ds.data[:10]
+    mask = ds.mask[:10]
+    imputed = pred.impute(frames, mask)
+    assert imputed.shape == frames.shape
+    m = mask.reshape(frames.shape)
+    np.testing.assert_array_equal(imputed * m, frames * m)
+    assert np.isfinite(imputed).all()
+
+    # trajectory prediction for a NEW subject: observe 3 frames, query 2 more
+    new = healthmnist_like(p=1, t=5, seed=9)
+    new.labels[:, 2] = 777.0  # unseen id
+    out = pred.predict_trajectory(
+        new.data[:3], new.labels[:3], new.labels[3:]
+    )
+    assert out.shape == (2,) + ds.data.shape[1:]
+    assert np.isfinite(out).all()
+
+    # unseen-subject queries with no observations → population mean, finite
+    out2 = pred.predict_trajectory(new.data[:3], new.labels[:3], ds.labels[:4])
+    assert np.isfinite(out2).all()
+
+
+def test_predictor_from_checkpoint(tmp_path):
+    import os
+
+    from lvae_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = make_cfg(str(tmp_path), epochs=1, run_validation=False,
+                   generate_images=False, run_tests=False)
+    ds = healthmnist_like(p=6, t=5, seed=0)
+    pipeline = LVAEPipeline(cfg, {"train": ds})
+    trainer = pipeline.build_trainer()
+    trainer.run_epoch()
+    path = os.path.join(str(tmp_path), "final.ckpt")
+    save_checkpoint(path, trainer.state)
+
+    pred = LVAEPredictor.from_checkpoint(path, cfg, dataset=ds)
+    z = pred.encode(ds.data[:4])
+    assert z.shape == (4, cfg.latent_dim)
