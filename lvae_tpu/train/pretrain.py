@@ -59,8 +59,11 @@ def make_pretrain_epoch_fn(model, optimizer, loss_function: str, dropout: bool,
             loss=loss, recon=jnp.sum(mse_i), nll=jnp.sum(nll_i), kld=jnp.sum(kld_i)
         )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def epoch_fn(state, data, pixmask, batch_idx):
+    @functools.partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,))
+    def epochs_fn(state, data, pixmask, batch_size: int, n_epochs: int):
+        n = data.shape[0]
+        n_batches = n // batch_size
+
         def step(state, idx):
             rng, key = jax.random.split(state.rng)
             x = jnp.take(data, idx, axis=0)
@@ -75,10 +78,21 @@ def make_pretrain_epoch_fn(model, optimizer, loss_function: str, dropout: bool,
                 metrics,
             )
 
-        state, ms = jax.lax.scan(step, state, batch_idx)
-        return state, jax.tree.map(jnp.sum, ms)
+        def one_epoch(state, _):
+            rng, perm_key = jax.random.split(state.rng)
+            state = state._replace(rng=rng)
+            # on-device shuffle (dropping the ragged tail, as the reference's
+            # drop_last-free loader effectively sees shuffled batches)
+            perm = jax.random.permutation(perm_key, n)[: n_batches * batch_size]
+            state, ms = jax.lax.scan(
+                step, state, perm.reshape(n_batches, batch_size)
+            )
+            return state, jax.tree.map(jnp.sum, ms)
 
-    return epoch_fn
+        state, ms = jax.lax.scan(one_epoch, state, None, length=n_epochs)
+        return state, ms
+
+    return epochs_fn
 
 
 class VAEPretrainer:
@@ -105,7 +119,6 @@ class VAEPretrainer:
         self.epoch_fn = make_pretrain_epoch_fn(
             model, self.optimizer, loss_function, dropout, vy_fixed
         )
-        self.rng = np.random.default_rng(seed)
         key = jax.random.key(seed)
         k_init, k_state = jax.random.split(key)
         params = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
@@ -119,34 +132,38 @@ class VAEPretrainer:
         )
         self.history: list = []
 
-    def _epoch_indices(self) -> np.ndarray:
-        perm = self.rng.permutation(self.n)
-        n_batches = self.n // self.batch_size
-        if n_batches == 0:
-            n_batches, self.batch_size = 1, self.n
-        return perm[: n_batches * self.batch_size].reshape(n_batches, self.batch_size)
+    def run_epochs(self, n: int):
+        self.state, ms = self.epoch_fn(
+            self.state, self.data, self.pixmask, self.batch_size, n
+        )
+        host = jax.tree.map(np.asarray, ms)
+        out = []
+        for e in range(n):
+            m = jax.tree.map(lambda a: float(a[e]), host)
+            self.history.append(m)
+            out.append(m)
+        return out
 
     def run_epoch(self):
-        idx = self._epoch_indices()
-        self.state, ms = self.epoch_fn(
-            self.state, self.data, self.pixmask, jnp.asarray(idx)
-        )
-        m = jax.tree.map(float, ms)
-        self.history.append(m)
-        return m
+        return self.run_epochs(1)[0]
 
-    def fit(self, epochs: int, log_every: int = 1, callback=None):
-        for epoch in range(1, epochs + 1):
-            m = self.run_epoch()
-            if log_every and epoch % log_every == 0:
-                print(
-                    "====> Epoch: %d - Average loss: %.4f  - KLD loss: %.3f"
-                    "  - NLL loss: %.3f  - Recon loss: %.3f"
-                    % (epoch, m.loss, m.kld, m.nll, m.recon),
-                    flush=True,
-                )
+    def fit(self, epochs: int, log_every: int = 1, callback=None, chunk: int = 25):
+        done = 0
+        while done < epochs:
+            n = min(max(chunk, 1), epochs - done)
+            ms = self.run_epochs(n)
+            for i, m in enumerate(ms):
+                epoch = done + i + 1
+                if log_every and epoch % log_every == 0:
+                    print(
+                        "====> Epoch: %d - Average loss: %.4f  - KLD loss: %.3f"
+                        "  - NLL loss: %.3f  - Recon loss: %.3f"
+                        % (epoch, m.loss, m.kld, m.nll, m.recon),
+                        flush=True,
+                    )
+            done += n
             if callback is not None:
-                callback(self, epoch, m)
+                callback(self, done, ms[-1])
         return self.history
 
     @property

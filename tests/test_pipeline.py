@@ -229,3 +229,30 @@ def test_pipeline_ragged_cohort_with_tests(tmp_path):
     pipeline = LVAEPipeline(cfg, datasets)
     result = pipeline.run()
     assert np.isfinite(result.vae_mse) and np.isfinite(result.gp_mse)
+
+
+def test_pipeline_rotatedmnist_conv(tmp_path):
+    """28x28 conv flow (RotatedMNIST family) — the reference's ConvVAE would
+    crash here (hardcoded 36x36 fc1); ours is size-generic."""
+    rng = np.random.default_rng(4)
+    p, t = 4, 4
+    n = p * t
+    labels = np.stack(
+        [np.tile(np.arange(t), p).astype(float),
+         np.repeat(np.arange(p), t).astype(float)], axis=1,
+    )
+    ds = ArrayDataset(
+        data=rng.uniform(size=(n, 28, 28, 1)).astype(np.float32),
+        labels=labels,
+        mask=np.ones((n, 784), np.float32),
+    )
+    cfg = make_cfg(
+        str(tmp_path), dataset_type="RotatedMNIST", num_dim=784, latent_dim=3,
+        M=6, P=p, T=t, epochs=2, subjects_per_batch=2, id_covariate=1,
+        cat_kernel=[1], sqexp_kernel=[0], cat_int_kernel=[],
+        run_tests=False, run_validation=False, generate_images=False,
+    )
+    pipeline = LVAEPipeline(cfg, {"train": ds})
+    pipeline.build_trainer()
+    hist = pipeline.train()
+    assert np.isfinite(hist[-1].net)
