@@ -164,3 +164,55 @@ def test_cat_mod_kernel_hand():
     x2 = jnp.asarray([[0.0], [2.0]])
     k = np.asarray(kx.kernel_matrix(spec, kp, x1, x2))
     np.testing.assert_allclose(k, [[1.0, -1 / 3], [-1 / 3, -1 / 3]], rtol=1e-12)
+
+
+def test_split_plus_join_equals_full_kernel_randomized():
+    """Property: kernel0 + kernel1 from the split builder equals the single
+    additive kernel from the full builder (generate_kernel vs
+    generate_kernel_approx semantics, kernel_gen.py:9-197) on random specs."""
+    rng = np.random.default_rng(42)
+    for trial in range(10):
+        q = 6
+        id_cov = int(rng.integers(0, q))
+        kw = dict(
+            cat_kernel=sorted(rng.choice(q, rng.integers(0, 3), replace=False).tolist()),
+            bin_kernel=sorted(rng.choice(q, rng.integers(0, 2), replace=False).tolist()),
+            sqexp_kernel=sorted(rng.choice(q, rng.integers(0, 3), replace=False).tolist()),
+            cat_int_kernel=[
+                {"cont_covariate": int(rng.integers(0, q)),
+                 "cat_covariate": int(rng.integers(0, q))}
+                for _ in range(rng.integers(0, 3))
+            ],
+            bin_int_kernel=[
+                {"cont_covariate": int(rng.integers(0, q)),
+                 "bin_covariate": int(rng.integers(0, q))}
+                for _ in range(rng.integers(0, 2))
+            ],
+            covariate_missing_val=(
+                [{"covariate": int(rng.integers(0, q)), "mask": int(rng.integers(0, q))}]
+                if rng.uniform() < 0.5 else []
+            ),
+        )
+        full = kx.build_kernel_spec(**kw)
+        s0, s1 = kx.split_kernel_spec(id_covariate=id_cov, **kw)
+        assert s0.num_components + s1.num_components == full.num_components
+        # same multiset of components
+        assert sorted(s0.components + s1.components) == sorted(full.components)
+        # every kernel1 component involves the id covariate as an eq factor
+        for comp in s1.components:
+            assert id_cov in comp.eq_cols
+        # numerically: K_full == K0 + K1 with matching per-component params
+        if full.num_components == 0:
+            continue
+        x = jnp.asarray(
+            np.stack([rng.integers(0, 3, 12).astype(float) for _ in range(q)], 1)
+        )
+        kp_full = kx.init_kernel_params(full, latent_dim=2, dtype=jnp.float64)
+        # split params follow the split component order; rebuild by matching
+        order0 = [full.components.index(c) for c in s0.components]
+        order1 = [full.components.index(c) for c in s1.components]
+        kp0 = kx.KernelParams(kp_full.raw_scale[:, order0], kp_full.raw_lengthscale[:, order0])
+        kp1 = kx.KernelParams(kp_full.raw_scale[:, order1], kp_full.raw_lengthscale[:, order1])
+        k_full = kx.kernel_matrix(full, kp_full, x, x)
+        k_sum = kx.kernel_matrix(s0, kp0, x, x) + kx.kernel_matrix(s1, kp1, x, x)
+        np.testing.assert_allclose(np.asarray(k_full), np.asarray(k_sum), rtol=1e-12)
