@@ -28,10 +28,11 @@ class ValidationResult(NamedTuple):
     recon: float
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 15, 16))
 def _validate_jit(
     model, spec0, spec1, params, kp0, kp1, noise, data, labels, pixmask,
-    block_idx, block_mask, z, eps, rng,
+    block_idx, block_mask, z, eps, rng, type_kl="GPapprox_closed",
+    num_samples=1,
 ):
     recon, mu, log_var = model.apply(params, data, rng=rng, deterministic=True)
     mse_i, nll_i = mv.vae_loss(params["params"]["raw_log_vy"], recon, data, pixmask)
@@ -45,7 +46,17 @@ def _validate_jit(
     mu_b = jnp.take(mu, block_idx.reshape(-1), axis=0).reshape(p, t, latent)
     lv_b = jnp.take(log_var, block_idx.reshape(-1), axis=0).reshape(p, t, latent)
     ops = eb.gp_block_operators(spec0, spec1, kp0, kp1, noise, xb, z, block_mask, eps)
-    gp_loss = jnp.sum(eb.dubo(ops, mu_b, lv_b))
+    if type_kl == "GPapprox":
+        # sample-based bound (validation.py:137-145)
+        keys = jax.random.split(jax.random.fold_in(rng, 1), num_samples)
+
+        def one(key):
+            zb = mv.sample_latent(key, mu_b, lv_b)
+            return -jnp.sum(eb.gp_elbo(ops, zb))
+
+        gp_loss = jnp.mean(jax.vmap(one)(keys))
+    else:
+        gp_loss = jnp.sum(eb.dubo(ops, mu_b, lv_b))
     return recon_sum, nll_sum, gp_loss
 
 
@@ -65,6 +76,8 @@ def validate(
     eps: float = 1e-6,
     rng=None,
     verbose: bool = True,
+    type_kl: str = "GPapprox_closed",
+    num_samples: int = 1,
 ) -> ValidationResult:
     """Validation metrics; prints the reference's summary line."""
     if verbose:
@@ -84,6 +97,8 @@ def validate(
         jnp.asarray(z, dtype),
         eps,
         rng,
+        type_kl,
+        num_samples,
     )
     recon_sum, nll_sum, gp_loss = float(recon_sum), float(nll_sum), float(gp_loss)
     latent = latent_dim or gp_params.kp0.raw_scale.shape[0]

@@ -184,7 +184,8 @@ def predict_latents(
     from lvae_tpu.data.blocks import scatter_to_flat
 
     inputs, te_index, te_mask = build_predict_inputs(
-        train_labels, np.asarray(train_mu), test_labels, id_covariate
+        train_labels, np.asarray(train_mu), test_labels, id_covariate,
+        dtype=np.asarray(train_mu).dtype,
     )
     zb = gp_predict(spec0, spec1, kp0, kp1, noise, inputs, z, eps)
     return scatter_to_flat(np.asarray(zb), te_index, te_mask, test_labels.shape[0])

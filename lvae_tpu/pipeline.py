@@ -211,6 +211,7 @@ class LVAEPipeline:
             self.model, vae_params, gp_params, noise, self.spec0, self.spec1,
             self.validation_dataset, trainer.tdata.z, cfg.id_covariate,
             cfg.weight, cfg.loss_function, cfg.latent_dim, cfg.eps,
+            type_kl=cfg.type_KL, num_samples=cfg.num_samples,
         )
         if res.net < self.best["val"]:
             self.best = {"val": res.net, "epoch": epoch}

@@ -256,3 +256,27 @@ def test_pipeline_rotatedmnist_conv(tmp_path):
     pipeline.build_trainer()
     hist = pipeline.train()
     assert np.isfinite(hist[-1].net)
+
+
+def test_pipeline_gpapprox_validation(tmp_path):
+    """type_KL='GPapprox': sample-based validation path (validation.py:137-145)."""
+    cfg = make_cfg(
+        str(tmp_path), type_KL="GPapprox", hensman=False,
+        natural_gradient=False, epochs=2, run_tests=False,
+        generate_images=False, run_validation=True,
+    )
+    datasets = {"train": healthmnist_like(seed=0),
+                "validation": healthmnist_like(p=3, seed=1)}
+    pipeline = LVAEPipeline(cfg, datasets)
+    pipeline.build_trainer()
+    pipeline.train()
+    from lvae_tpu.evaluation.validate import validate
+
+    vae_params, gp_params, noise = pipeline.current_params()
+    res = validate(
+        pipeline.model, vae_params, gp_params, noise, pipeline.spec0,
+        pipeline.spec1, datasets["validation"], pipeline.trainer.tdata.z,
+        cfg.id_covariate, cfg.weight, cfg.loss_function, cfg.latent_dim,
+        cfg.eps, type_kl="GPapprox", num_samples=2,
+    )
+    assert np.isfinite(res.net)
