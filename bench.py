@@ -84,7 +84,13 @@ def bench_jax():
         natural_gradient_lr=0.01, constrain_scales=True, eps=1e-5,
         dropout=False,
     )
-    model = ConvVAE(latent_dim=LATENT, num_dim=IMG * IMG, p=0.0)
+    import jax.numpy as jnp
+
+    model_dtype = (
+        jnp.bfloat16 if os.environ.get("BENCH_MODEL_DTYPE") == "bfloat16"
+        else jnp.float32
+    )
+    model = ConvVAE(latent_dim=LATENT, num_dim=IMG * IMG, p=0.0, dtype=model_dtype)
     z = st.init_inducing_points(labels, M_IND, seed=0)
     trainer = HensmanTrainer(model, cfg, ds, blocks, z, subjects_per_batch=SPB)
 

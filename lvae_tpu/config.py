@@ -104,6 +104,9 @@ class LVAEConfig:
 
     # TPU-native knobs (no reference equivalent)
     dtype: str = "float32"  # compute dtype for GP algebra
+    model_dtype: str = ""  # VAE compute dtype ('' = dtype). bfloat16 keeps params
+    # f32 and upcasts losses/moments; no speedup at the sample-config scale
+    # (latency-bound), relevant for larger imaging models
     seed: int = 0
     data_mesh: int = 1  # devices on the 'data' (subject) mesh axis
     latent_mesh: int = 1  # devices on the 'latent' mesh axis

@@ -182,14 +182,16 @@ def vae_loss(
     """
     n = recon_x.shape[0]
     num_dim = raw_log_vy.shape[0]
-    rx = recon_x.reshape(n, num_dim)
-    tx = x.reshape(n, num_dim).astype(rx.dtype)
-    mk = mask.reshape(n, num_dim).astype(rx.dtype)
+    # losses accumulate in the TARGET's dtype (>= f32): with a bf16 compute
+    # model the reconstruction is upcast here so sums stay accurate
+    tx = x.reshape(n, num_dim)
+    rx = recon_x.reshape(n, num_dim).astype(tx.dtype)
+    mk = mask.reshape(n, num_dim).astype(tx.dtype)
     se = (rx - tx) ** 2 * mk
     mask_sum = jnp.maximum(jnp.sum(mk, axis=1), 1.0)
     mse = jnp.sum(se, axis=1) / mask_sum
-    nll = se / (2.0 * jnp.exp(raw_log_vy)) + 0.5 * (
-        jnp.log(2.0 * jnp.pi) + raw_log_vy
+    nll = se / (2.0 * jnp.exp(raw_log_vy.astype(tx.dtype))) + 0.5 * (
+        jnp.log(2.0 * jnp.pi) + raw_log_vy.astype(tx.dtype)
     )
     return mse, jnp.sum(nll, axis=1)
 

@@ -73,10 +73,16 @@ class LVAEPipeline:
 
         self.num_dim = cfg.num_dim or self.dataset.num_dim
         self.q = self.dataset.num_covariates
+        model_dtype = (
+            {"float32": jnp.float32, "float64": jnp.float64,
+             "bfloat16": jnp.bfloat16}[cfg.model_dtype]
+            if cfg.model_dtype
+            else self.dtype
+        )
         self.model = make_vae(
             cfg.type_nnet, cfg.latent_dim, self.num_dim,
             vy_init=cfg.vy_init, dropout=cfg.dropout,
-            dropout_input=cfg.dropout_input, dtype=self.dtype,
+            dropout_input=cfg.dropout_input, dtype=model_dtype,
             T=cfg.T or None, hidden_dim=cfg.hidden_dim, type_rnn=cfg.type_rnn,
         )
         self.spec0, self.spec1 = kx.split_kernel_spec(

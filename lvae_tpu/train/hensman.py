@@ -101,6 +101,10 @@ def batch_loss(
         deterministic=not cfg.dropout,
         rngs={"dropout": k_drop},
     )
+    # a reduced-precision (bf16) compute model hands back bf16 moments; the
+    # GP algebra needs full f32
+    mu = mu.astype(x.dtype)
+    log_var = log_var.astype(x.dtype)
     raw_log_vy = trainables.vae["params"]["raw_log_vy"]
     if cfg.vy_fixed:
         raw_log_vy = jax.lax.stop_gradient(raw_log_vy)

@@ -191,3 +191,20 @@ def test_vy_fixed_freezes_observation_noise():
     trainer.run_epochs(3)
     after = np.asarray(trainer.state.trainables.vae["params"]["raw_log_vy"])
     np.testing.assert_array_equal(before, after)
+
+
+def test_hensman_bf16_compute_model():
+    """bf16 VAE compute with f32 GP algebra: finite and decreasing."""
+    ds = tiny_cohort()
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    cfg = make_cfg(True)
+    model = mv.SimpleVAE(latent_dim=cfg.latent_dim, num_dim=20, dtype=jnp.bfloat16)
+    z = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+    trainer = th.HensmanTrainer(model, cfg, ds, blocks, z, subjects_per_batch=3)
+    first = trainer.run_epoch()
+    for _ in range(8):
+        last = trainer.run_epoch()
+    assert np.isfinite(last.net) and last.net < first.net
+    # params remain f32 (param_dtype default)
+    leaf = trainer.state.trainables.vae["params"]["fc1"]["kernel"]
+    assert leaf.dtype == jnp.float32
