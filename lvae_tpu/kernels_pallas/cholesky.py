@@ -104,7 +104,10 @@ def _chol_inv_pallas(a2: jax.Array, interpret: bool = False):
     return jnp.transpose(l_t, (2, 0, 1)), jnp.transpose(inv_t, (2, 0, 1))
 
 
-def _use_pallas(a: jax.Array, max_n: int = 96) -> bool:
+def _use_pallas(a: jax.Array, max_n: int = 64) -> bool:
+    # VMEM budget: the kernel holds ~5 [n, n, 128] f32 buffers (input, L, M
+    # and the two outputs); n = 64 ≈ 10.5 MB of the ~16 MB VMEM. Larger
+    # blocks fall back to XLA.
     if a.dtype != jnp.float32:
         return False
     if a.shape[-1] > max_n or a.shape[-1] < 2:
