@@ -259,6 +259,7 @@ def dubo(
 class NaturalGradients(NamedTuple):
     grad_m: jax.Array  # [L, M, 1]
     grad_H: jax.Array  # [L, M, M]
+    iH: Optional[jax.Array] = None  # [L, M, M] — H⁻¹, reused by the update
 
 
 @_full_precision
@@ -333,7 +334,7 @@ def minibatch_kld(
         ng_b = ops.iK0zz @ ops.K0zx_iB_K0xz @ ops.iK0zz + ops.iK0zz
         grad_m = -ng_a + ng_b @ m
         grad_h = 0.5 * (-ih + ng_b)
-        ng = NaturalGradients(grad_m=grad_m, grad_H=grad_h)
+        ng = NaturalGradients(grad_m=grad_m, grad_H=grad_h, iH=ih)
 
     return kld_total, ng
 
@@ -350,7 +351,10 @@ def natural_gradient_update(
     ``iH_new = iH + lr (grad_H + grad_Hᵀ)``; ``H ← iH_new⁻¹``;
     ``m ← H (iH m − lr (grad_m − 2 grad_H m))``. Runs outside autodiff.
     """
-    _, ih = la.cholesky_and_inverse(H)
+    if ng.iH is not None:
+        ih = ng.iH  # minibatch_kld already factorised H this step
+    else:
+        _, ih = la.cholesky_and_inverse(H)
     ih_new = ih + lr * (ng.grad_H + jnp.swapaxes(ng.grad_H, -1, -2))
     _, h_new = la.cholesky_and_inverse(ih_new)
     m_new = h_new @ (ih @ m - lr * (ng.grad_m - 2.0 * (ng.grad_H @ m)))
