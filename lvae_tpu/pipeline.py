@@ -32,7 +32,6 @@ from lvae_tpu.ops import kernels as kx
 from lvae_tpu.train import state as st
 from lvae_tpu.train.hensman import HensmanConfig, HensmanTrainer
 from lvae_tpu.train.standard import StandardConfig, StandardTrainer
-from lvae_tpu.train.vi import VIConfig, VITrainer
 from lvae_tpu.utils.checkpoint import save_checkpoint, try_load_checkpoint
 from lvae_tpu.utils.metrics import MetricsLogger, device_memory_stats
 

@@ -105,7 +105,6 @@ def full_batch_loss(
     mu_b = mu.reshape(p, t, latent)
     lv_b = log_var.reshape(p, t, latent)
 
-    keys = jax.random.split(k_sample, cfg.num_samples)
     if cfg.type_KL == "closed":
         k_prior = kx.kernel_matrix(
             cfg.spec0, gp.kp0, tdata.labels, tdata.labels
@@ -123,6 +122,7 @@ def full_batch_loss(
             zb = mv.sample_latent(key, mu_b, lv_b)
             return -jnp.sum(eb.gp_elbo(ops, zb))
 
+        keys = jax.random.split(k_sample, cfg.num_samples)
         gp_loss = jnp.mean(jax.vmap(one_sample)(keys))
     elif cfg.type_KL == "GPapprox_closed":
         ops = eb.gp_block_operators(

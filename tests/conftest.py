@@ -21,5 +21,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Suite wall time is compile-dominated; the persistent cache makes repeat
+# runs (CI/driver and local iteration) skip recompiles entirely.
+_cache = os.environ.get("JAX_TEST_COMPILATION_CACHE", "/tmp/jaxcache-tests")
+if _cache:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) == 8, "sharding tests expect 8 virtual CPU devices"
