@@ -11,13 +11,16 @@ Rebuilds of ``standard_training`` (training.py:431-600) and
   * 'GPapprox_closed' — the deviance upper bound on mean/variance
                         (deviance_upper_bound, elbo_functions.py:86-142).
 
-``minibatch_training`` in the reference is a manual gradient-stitching dance:
-encode everything without grad, differentiate the GP loss w.r.t. the cached
-means, then replay the encoder per batch splicing those cotangents in
-(training.py:294-399). By the chain rule that *is* the full-batch gradient of
-``recon(θ) + gp(μ(θ), logvar(θ))`` — so the TPU-native version is one jitted
-full-batch value_and_grad with rematerialisation on the encoder to bound
-memory. Same math, no five-phase choreography.
+``minibatch_training`` (``mini_batch=True``, the GPPVAE-style pseudo-minibatch
+regime) is implemented literally: the five-phase gradient splice of
+training.py:294-399 — (1) no-grad full-dataset encode, (2) GP loss on the
+cached encodings, (3) its gradients w.r.t. the encodings and kernel params,
+(4) per-subject encoder replays that splice the cached cotangents through the
+encoder via VJP alongside the reconstruction gradient, (5) one optimiser step
+— as :func:`gppvae_grads`. With a deterministic encoder this equals the
+full-batch gradient of ``recon(θ) + gp(μ(θ), logvar(θ))`` by the chain rule
+(proved to 1e-12 in tests/test_gppvae.py), while bounding peak activation
+memory to one subject's batch, exactly the regime's purpose.
 """
 
 from __future__ import annotations
@@ -142,6 +145,153 @@ def full_batch_loss(
     return net, StandardMetrics(net=net, recon=recon_loss, nll=nll_loss, gp=gp_rep)
 
 
+def gppvae_grads(
+    model,
+    cfg: StandardConfig,
+    trainables: st.Trainables,
+    tdata: st.TrainData,
+    block_mask: jax.Array,
+    rng: jax.Array,
+) -> Tuple[st.Trainables, StandardMetrics]:
+    """Literal five-phase GPPVAE pseudo-minibatch gradient (training.py:240-429).
+
+    Phase 1 — encode the whole dataset without gradients (training.py:301-311).
+    Phases 2-3 — GP loss on the cached ``full_mu``/``full_log_var`` leaves;
+    gradients w.r.t. those leaves and the kernel hyper-parameters
+    (training.py:321-360). The likelihood noise receives no gradient — the
+    reference's ``param_list`` collects only ``covar_module`` parameters
+    (training.py:352-355).
+    Phase 4 — replay the encoder per batch (batch = one subject: the reference
+    uses ``batch_size=T, shuffle=False``, training.py:282-284), splicing the
+    cached cotangents through ``mu``/``log_var`` with a VJP while accumulating
+    the reconstruction gradient (training.py:365-387).
+    Phase 5 is the caller's single optimiser step (training.py:399).
+    """
+    p, t = block_mask.shape
+    latent = cfg.latent_dim
+    k_drop1, k_gp, k_recon, k_drop2 = jax.random.split(rng, 4)
+
+    # Phase 1: no-grad full-dataset encode.
+    full_mu, full_lv = jax.lax.stop_gradient(
+        model.apply(
+            trainables.vae,
+            tdata.data,
+            deterministic=not cfg.dropout,
+            rngs={"dropout": k_drop1},
+            method="encode",
+        )
+    )
+
+    # Phases 2-3: GP loss on the cached encodings.
+    def gp_loss_fn(gp: st.GPParams, mu_flat, lv_flat):
+        noise = (
+            jnp.ones_like(gp.raw_noise)
+            if cfg.constrain_scales
+            else kx.constrain(jax.lax.stop_gradient(gp.raw_noise))
+        )
+        xb = tdata.labels.reshape(p, t, -1)
+        mu_b = mu_flat.reshape(p, t, latent)
+        lv_b = lv_flat.reshape(p, t, latent)
+        ops = eb.gp_block_operators(
+            cfg.spec0, cfg.spec1, gp.kp0, gp.kp1, noise, xb, tdata.z,
+            block_mask, cfg.eps,
+        )
+        if cfg.type_KL == "GPapprox":
+            def one_sample(key):
+                zb = mv.sample_latent(key, mu_b, lv_b)
+                return -jnp.sum(eb.gp_elbo(ops, zb))
+
+            keys = jax.random.split(k_gp, cfg.num_samples)
+            gp_raw = jnp.mean(jax.vmap(one_sample)(keys))
+        elif cfg.type_KL == "GPapprox_closed":
+            gp_raw = jnp.sum(eb.dubo(ops, mu_b, lv_b))
+        else:
+            # the reference asserts these two regimes (training.py:285)
+            raise ValueError(f"mini_batch supports GPapprox(_closed), got {cfg.type_KL!r}")
+        # mse path scales BEFORE differentiation so the spliced cotangents
+        # carry weight/latent_dim (training.py:356-358)
+        scaled = (
+            cfg.weight * gp_raw / latent if cfg.loss_function == "mse" else gp_raw
+        )
+        return scaled, gp_raw
+
+    (gp_scaled, gp_raw), (gp_grads, mu_ct, lv_ct) = jax.value_and_grad(
+        gp_loss_fn, argnums=(0, 1, 2), has_aux=True
+    )(trainables.gp, full_mu, full_lv)
+
+    # Phase 4: per-subject encoder replay + cotangent splice.
+    data_b = tdata.data.reshape((p, t) + tdata.data.shape[1:])
+    pix_b = tdata.pixmask.reshape((p, t) + tdata.pixmask.shape[1:])
+    mu_ct_b = mu_ct.reshape(p, t, latent)
+    lv_ct_b = lv_ct.reshape(p, t, latent)
+
+    def batch_grad(vae_acc, inp):
+        i, xb_, pixm, mct, lct = inp
+        k_i = jax.random.fold_in(k_recon, i)
+        kd_i = jax.random.fold_in(k_drop2, i)
+
+        def fwd(vp):
+            recon, mu, lv = model.apply(
+                vp, xb_, rng=k_i,
+                deterministic=not cfg.dropout, rngs={"dropout": kd_i},
+            )
+            raw_log_vy = vp["params"]["raw_log_vy"]
+            if cfg.vy_fixed:
+                raw_log_vy = jax.lax.stop_gradient(raw_log_vy)
+            mse_i, nll_i = mv.vae_loss(raw_log_vy, recon, xb_, pixm)
+            recon_l = jnp.sum(mse_i)
+            nll_l = jnp.sum(nll_i)
+            primal = recon_l if cfg.loss_function == "mse" else nll_l
+            return (primal, mu, lv), (recon_l, nll_l)
+
+        (primal, mu, lv), vjp_fn, aux = jax.vjp(fwd, trainables.vae, has_aux=True)
+        # 1·d(recon)/dθ + mu.backward(mu_grads) + log_var.backward(lv_grads)
+        # (training.py:378-384)
+        (g,) = vjp_fn((jnp.ones_like(primal), mct, lct))
+        return jax.tree.map(jnp.add, vae_acc, g), aux
+
+    zero_vae = jax.tree.map(jnp.zeros_like, trainables.vae)
+    vae_grads, (recon_ls, nll_ls) = jax.lax.scan(
+        batch_grad,
+        zero_vae,
+        (jnp.arange(p), data_b, pix_b, mu_ct_b, lv_ct_b),
+    )
+
+    recon_sum = jnp.sum(recon_ls)
+    nll_sum = jnp.sum(nll_ls)
+    gp_rep = gp_raw / latent if cfg.loss_function == "mse" else gp_raw
+    net = (
+        recon_sum + cfg.weight * gp_rep
+        if cfg.loss_function == "mse"
+        else nll_sum + gp_rep
+    )
+    grads = st.Trainables(vae=vae_grads, gp=gp_grads, m=None, h_factor=None)
+    metrics = StandardMetrics(net=net, recon=recon_sum, nll=nll_sum, gp=gp_rep)
+    return grads, metrics
+
+
+def make_gppvae_step(model, cfg: StandardConfig, optimizer):
+    """One jitted pseudo-minibatch epoch: five phases + one optimiser step."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state: StandardState, tdata, block_mask):
+        rng, key = jax.random.split(state.rng)
+        grads, metrics = gppvae_grads(
+            model, cfg, state.trainables, tdata, block_mask, key
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.trainables)
+        trainables = optax.apply_updates(state.trainables, updates)
+        # No noise re-pinning here: minibatch_training never resets the
+        # likelihood (contrast training.py:590-592), and the GP loss gives it
+        # no gradient, so raw_noise simply stays at its initial value.
+        return (
+            StandardState(trainables, opt_state, rng, state.step + 1),
+            metrics,
+        )
+
+    return step_fn
+
+
 def make_standard_step(model, cfg: StandardConfig, optimizer):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: StandardState, tdata, block_mask):
@@ -171,9 +321,11 @@ def make_standard_step(model, cfg: StandardConfig, optimizer):
 class StandardTrainer:
     """Full-batch trainer driver (training.py:483-600 / 240-429 control flow).
 
-    With ``pseudo_minibatch=True`` this is the GPPVAE-equivalent regime: the
-    gradient is mathematically identical (chain rule over cached encodings),
-    computed as one full-batch step with encoder rematerialisation.
+    With ``pseudo_minibatch=True`` each epoch runs the literal five-phase
+    GPPVAE gradient splice (:func:`gppvae_grads`) instead of one full-batch
+    ``value_and_grad`` — behaviourally distinct (per-subject encoder batches,
+    bounded activation memory, no likelihood-noise gradient), and proved
+    chain-rule-equal to the full-batch gradient in tests/test_gppvae.py.
     """
 
     def __init__(
@@ -190,9 +342,18 @@ class StandardTrainer:
     ):
         self.model = model
         self.cfg = cfg
+        if pseudo_minibatch and cfg.type_KL not in ("GPapprox", "GPapprox_closed"):
+            # the reference asserts the same (training.py:285)
+            raise ValueError(
+                f"mini_batch supports GPapprox(_closed), got {cfg.type_KL!r}"
+            )
         self.pseudo_minibatch = pseudo_minibatch
         self.optimizer = st.make_optimizer(learning_rate)
-        self.step_fn = make_standard_step(model, cfg, self.optimizer)
+        self.step_fn = (
+            make_gppvae_step(model, cfg, self.optimizer)
+            if pseudo_minibatch
+            else make_standard_step(model, cfg, self.optimizer)
+        )
         self.dtype = dtype
         self.block_mask = jnp.asarray(blocks.mask, dtype)
         n = len(dataset)
@@ -218,7 +379,7 @@ class StandardTrainer:
             k_init, self.tdata.data[: blocks.t_max]
         )
         gp = st.init_gp_params(
-            cfg.spec0 if cfg.type_KL != "closed" else cfg.spec0,
+            cfg.spec0,
             cfg.spec1 if cfg.spec1 is not None else kx.KernelSpec(components=()),
             cfg.latent_dim,
             constrain_scales=cfg.constrain_scales,
