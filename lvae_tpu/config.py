@@ -95,9 +95,13 @@ class LVAEConfig:
     model_params: str = "model_params.pth"
     gp_model_folder: str = "./pretrainedVAE"
     memory_dbg: bool = False
-    generate_plots: bool = False
-    iter_num: int = 1
-    test_freq: int = 50
+    generate_plots: bool = False  # parsed-but-unused in the reference too; warned
+    iter_num: int = 1  # parsed-but-unused in the reference too; warned
+    # Validation / test-MSE cadence (epochs). The reference parses a
+    # test_freq flag defaulting to 50 that it never reads and hardcodes the
+    # cadence to 25 (parse_model_args.py:73 vs training.py:150); we honour
+    # the flag, defaulting to the reference's actual behaviour.
+    test_freq: int = 25
     run_tests: bool = False
     run_validation: bool = False
     generate_images: bool = False
@@ -135,6 +139,22 @@ class LVAEConfig:
             "varying_T can't be used without hensman (LVAE.py:42)"
         )
         assert self.type_KL in ("closed", "GPapprox", "GPapprox_closed", "other")
+        # Flags the reference parses but never reads anywhere
+        # (parse_model_args.py:71-72, grep-verified): accept them for
+        # flag-file compatibility, but tell the user instead of silently
+        # ignoring a knob they set.
+        if self.generate_plots:
+            print(
+                "Warning: --generate_plots is accepted for reference-config "
+                "compatibility but unused (the reference never reads it; "
+                "use --generate_images)."
+            )
+        if self.iter_num != 1:
+            print(
+                "Warning: --iter_num is accepted for reference-config "
+                "compatibility but unused (the reference never reads it; "
+                "point --save_path/--results_path at per-run directories)."
+            )
         return self
 
 

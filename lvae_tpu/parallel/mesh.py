@@ -47,7 +47,18 @@ def make_mesh(
 
 
 def _put(x, mesh: Mesh, spec: P):
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    sh = NamedSharding(mesh, spec)
+    if sh.is_fully_addressable:
+        return jax.device_put(x, sh)
+    # Multi-process (DCN) mesh: device_put cannot target non-addressable
+    # devices; assemble the global array from the (identical) process-local
+    # copy instead — each process materialises exactly its own shards.
+    if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+        data = np.asarray(jax.random.key_data(x))
+        garr = jax.make_array_from_callback(data.shape, sh, lambda idx: data[idx])
+        return jax.random.wrap_key_data(garr)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
 
 
 def shard_train_data(tdata: st.TrainData, mesh: Mesh) -> st.TrainData:
@@ -103,12 +114,37 @@ class ShardedHensmanTrainer:
         )
         trainer.epochs_fn = make_epochs_fn(
             trainer.model, trainer.cfg, trainer.optimizer, trainer.table,
-            trainer.subjects_per_batch,
+            trainer.subjects_per_batch, mesh=mesh,
         )
 
+    # Full trainer facade: the pipeline holds this wrapper as its trainer
+    # (pipeline.py:build_trainer), so expose everything it touches —
+    # state (get/set for resume + pre-trained VAE load), tdata, history.
     @property
     def state(self):
         return self.inner.state
+
+    @state.setter
+    def state(self, value):
+        self.inner.state = shard_hensman_state(
+            value, self.mesh, self.inner.cfg.latent_dim
+        )
+
+    @property
+    def tdata(self):
+        return self.inner.tdata
+
+    @property
+    def history(self):
+        return self.inner.history
+
+    @property
+    def cfg(self):
+        return self.inner.cfg
+
+    @property
+    def model(self):
+        return self.inner.model
 
     def run_epochs(self, n: int):
         return self.inner.run_epochs(n)

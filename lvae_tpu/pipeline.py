@@ -154,7 +154,7 @@ class LVAEPipeline:
                 mesh = make_mesh(data=cfg.data_mesh, latent=cfg.latent_mesh)
                 # the sharded wrapper re-places state/table on the mesh and
                 # delegates everything else to the inner trainer
-                ShardedHensmanTrainer(self.trainer, mesh)
+                self.trainer = ShardedHensmanTrainer(self.trainer, mesh)
         elif cfg.variational_inference_training:
             raise RuntimeError("use run(); VI needs a pre-trained encoder")
         else:
@@ -201,6 +201,16 @@ class LVAEPipeline:
 
     # -------------------------------------------------------------- training
     def _epoch_callback(self, trainer, epoch, metrics):
+        """Per-chunk housekeeping: metrics, NaN guard, validation cadence.
+
+        Validation/best-model tracking fires every ``test_freq`` epochs — the
+        reference hardcodes 25 (training.py:150) while *parsing* a
+        ``test_freq`` flag it never reads (parse_model_args.py:73); honouring
+        the flag is the intended behaviour, and our default is 25 to match
+        the reference's actual cadence. ``train()`` sizes the dispatch chunk
+        so callbacks land on every multiple of both ``checkpoint_every`` and
+        ``test_freq``.
+        """
         cfg = self.cfg
         self.metrics.log(epoch, metrics._asdict() if hasattr(metrics, "_asdict") else dict(metrics))
         if cfg.debug_nans:
@@ -210,6 +220,8 @@ class LVAEPipeline:
         if epoch == cfg.epochs:
             return
         if self.validation_dataset is None:
+            return
+        if cfg.test_freq > 0 and epoch % cfg.test_freq != 0:
             return
         vae_params, gp_params, noise = self.current_params()
         res = validate(
@@ -228,14 +240,32 @@ class LVAEPipeline:
             )
             if cfg.run_tests and self.test_dataset is not None:
                 self._run_tests(save_file="result_error_best.csv")
+            if cfg.generate_images and self.generation_dataset is not None:
+                # best-model artefact (training.py:200-204 →
+                # predict_HealthMNIST.py:140: recon_complete_best.pdf)
+                vae_params, gp_params, noise = self.current_params()
+                prediction_x, prediction_mu = self.encode_prediction_cohort()
+                recon_complete_gen(
+                    self.generation_dataset, self.model, vae_params, gp_params,
+                    noise, self.spec0, self.spec1, prediction_x, prediction_mu,
+                    trainer.tdata.z, cfg.id_covariate,
+                    cfg.results_path or cfg.save_path, epoch=epoch, eps=cfg.eps,
+                )
 
     def train(self):
+        import math
+
         if self.trainer is None:
             self.build_trainer()
         start = time.perf_counter()
         fit_kwargs = dict(log_every=1, callback=self._epoch_callback)
         try:
-            fit_kwargs["chunk"] = max(1, self.cfg.checkpoint_every)
+            # the multi-epoch dispatch chunk must divide both cadences so the
+            # callback observes every checkpoint AND every validation epoch
+            chunk = max(1, self.cfg.checkpoint_every)
+            if self.cfg.test_freq > 0:
+                chunk = math.gcd(chunk, self.cfg.test_freq)
+            fit_kwargs["chunk"] = chunk
         except TypeError:
             pass
         if self.cfg.profile:

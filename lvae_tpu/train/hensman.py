@@ -68,7 +68,12 @@ class BlockTable(NamedTuple):
 
 def _noise_from(gp: st.GPParams, cfg: HensmanConfig) -> jax.Array:
     if cfg.constrain_scales:
-        # likelihood noise pinned to 1 (LVAE.py:186-188)
+        # Likelihood noise pinned to 1 with raw_noise frozen (LVAE.py:186-188:
+        # `likelihoods.noise = 1; raw_noise.requires_grad = False`). Because
+        # the loss never reads raw_noise on this branch its gradient is
+        # exactly zero, so Adam leaves it at its init value unconstrain(1.0)
+        # (st.init_gp_params) — the same fixed point as the reference's
+        # requires_grad=False, verified in tests/test_training.py.
         return jnp.ones_like(gp.raw_noise)
     return kx.constrain(gp.raw_noise)
 
@@ -84,8 +89,18 @@ def batch_loss(
     bmask: jax.Array,  # [S, T]
     p_batch: jax.Array,  # scalar
     rng: jax.Array,
+    mesh=None,
 ) -> Tuple[jax.Array, Tuple[StepMetrics, Optional[eb.NaturalGradients]]]:
-    """Net loss of one subject batch (training.py:103-124 semantics)."""
+    """Net loss of one subject batch (training.py:103-124 semantics).
+
+    With ``mesh`` set, the per-subject batch tensors carry explicit
+    ``with_sharding_constraint``s putting the subject axis on 'data' (and,
+    via propagation, the latent axis of every [L, S, T, ·] kernel stack on
+    'latent') — so GSPMD provably partitions the block Cholesky chains
+    instead of replicating them, and the KLD's subject sums lower to psum
+    over the data axis (SURVEY.md §2.2). Verified against compiled HLO in
+    tests/test_sharding.py.
+    """
     s, t = idx.shape
     flat_idx = idx.reshape(-1)
     x = jnp.take(tdata.data, flat_idx, axis=0)
@@ -115,6 +130,18 @@ def batch_loss(
     gp = trainables.gp
     noise = _noise_from(gp, cfg)
     xb = (labels * valid[:, None]).reshape(s, t, -1)
+    mu_b0 = mu.reshape(s, t, cfg.latent_dim)
+    lv_b0 = log_var.reshape(s, t, cfg.latent_dim)
+    if mesh is not None and "data" in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def cst(a, spec):
+            return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+        xb = cst(xb, P("data", None, None))
+        bmask = cst(bmask, P("data", None))
+        mu_b0 = cst(mu_b0, P("data", None, None))
+        lv_b0 = cst(lv_b0, P("data", None, None))
     ops = eb.gp_block_operators(
         cfg.spec0, cfg.spec1, gp.kp0, gp.kp1, noise, xb, tdata.z,
         mask=bmask, eps=cfg.eps,
@@ -125,10 +152,8 @@ def batch_loss(
         m_var = trainables.m
         psd_h = trainables.h_factor @ jnp.swapaxes(trainables.h_factor, -1, -2)
 
-    mu_b = mu.reshape(s, t, cfg.latent_dim)
-    lv_b = log_var.reshape(s, t, cfg.latent_dim)
     kld, ng = eb.minibatch_kld(
-        ops, m_var, psd_h, mu_b, lv_b,
+        ops, m_var, psd_h, mu_b0, lv_b0,
         P_tot=cfg.P_tot, P_batch=p_batch, N_tot=cfg.N_tot,
         natural_gradient=cfg.natural_gradient,
     )
@@ -152,6 +177,7 @@ def make_epochs_fn(
     optimizer,
     table: BlockTable,
     subjects_per_batch: int,
+    mesh=None,
 ):
     """Build the jitted multi-epoch runner.
 
@@ -176,7 +202,7 @@ def make_epochs_fn(
             grad_fn = jax.value_and_grad(
                 lambda tr: batch_loss(
                     model, cfg, tr, state.m_nat, state.H_nat,
-                    tdata, b_idx, b_mask, p_batch, step_key,
+                    tdata, b_idx, b_mask, p_batch, step_key, mesh=mesh,
                 ),
                 has_aux=True,
             )

@@ -6,19 +6,27 @@ training.py:199-233). Here a checkpoint is ONE pytree snapshot — every leaf
 converted to numpy and pickled together with a format version — so resume is
 exact (optimizer state, RNG key and step included). Best-model snapshots are
 the same mechanism under a different name.
+
+Format v2 makes restores refactor-proof: leaves are stored with their
+keypath strings, and the pytree *structure* is pickled into a separate bytes
+blob that is only deserialised when no ``like`` template is given. A
+``like``-templated restore therefore never needs the original defining
+classes (NamedTuple renames/moves don't orphan old checkpoints), and when
+both sides carry keypaths the leaves are matched BY NAME, tolerating field
+reordering.
 """
 
 from __future__ import annotations
 
 import os
 import pickle
-from typing import Any, Optional
+from typing import Any, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 def _pack_leaf(x):
@@ -34,14 +42,28 @@ def _unpack_leaf(x, template=None):
     return x
 
 
+def _keypaths(tree) -> List[str]:
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return [jax.tree_util.keystr(path) for path, _ in flat]
+
+
 def save_checkpoint(path: str, state: Any, metadata: Optional[dict] = None) -> str:
     """Snapshot any pytree of arrays to ``path`` (atomic rename)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     leaves, treedef = jax.tree_util.tree_flatten(state)
+    try:
+        # Structure serialised SEPARATELY and best-effort: loading the payload
+        # never fails just because the classes behind the treedef changed, and
+        # saving never fails on unpicklable (e.g. locally-defined) node types.
+        # It is only consulted by like-less loads.
+        treedef_bytes = pickle.dumps(treedef, protocol=pickle.HIGHEST_PROTOCOL)
+    except Exception:  # noqa: BLE001
+        treedef_bytes = None
     payload = {
         "version": FORMAT_VERSION,
         "leaves": [_pack_leaf(x) for x in leaves],
-        "treedef": treedef,
+        "keypaths": _keypaths(state),
+        "treedef_bytes": treedef_bytes,
         "metadata": metadata or {},
     }
     tmp = path + ".tmp"
@@ -52,17 +74,28 @@ def save_checkpoint(path: str, state: Any, metadata: Optional[dict] = None) -> s
 
 
 def load_checkpoint(path: str, like: Optional[Any] = None) -> Any:
-    """Restore a pytree snapshot. With ``like``, leaves are re-staged onto the
-    template's structure (shape-checked); otherwise the pickled treedef is
-    used (requires the defining classes to be importable)."""
+    """Restore a pytree snapshot.
+
+    With ``like``, leaves are re-staged onto the template's structure —
+    matched by keypath when both sides carry them (robust to field
+    reordering), positionally with shape checks otherwise. Without ``like``
+    the stored treedef is deserialised (requires the defining classes).
+    """
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    if payload.get("version") != FORMAT_VERSION:
+    version = payload.get("version")
+    if version not in (1, FORMAT_VERSION):
         raise ValueError(f"Unsupported checkpoint version in {path}")
     leaves = [_unpack_leaf(x) for x in payload["leaves"]]
     if like is not None:
-        t_leaves, treedef = jax.tree_util.tree_flatten(like)
-        if len(t_leaves) != len(leaves):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+        t_paths = [jax.tree_util.keystr(p) for p, _ in flat]
+        t_leaves = [x for _, x in flat]
+        s_paths = payload.get("keypaths")
+        if s_paths is not None and sorted(s_paths) == sorted(t_paths):
+            by_path = dict(zip(s_paths, leaves))
+            leaves = [by_path[p] for p in t_paths]
+        elif len(t_leaves) != len(leaves):
             raise ValueError(
                 f"Checkpoint leaf count {len(leaves)} != template {len(t_leaves)}"
             )
@@ -74,7 +107,15 @@ def load_checkpoint(path: str, like: Optional[Any] = None) -> Any:
             ):
                 raise ValueError(f"Leaf shape mismatch: {a.shape} vs {b.shape}")
         return jax.tree_util.tree_unflatten(treedef, leaves)
-    return jax.tree_util.tree_unflatten(payload["treedef"], leaves)
+    if version == 1:
+        return jax.tree_util.tree_unflatten(payload["treedef"], leaves)
+    if payload["treedef_bytes"] is None:
+        raise ValueError(
+            f"{path} has no stored structure (saved from a non-picklable "
+            "pytree class); pass a `like=` template to restore it"
+        )
+    treedef = pickle.loads(payload["treedef_bytes"])
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def try_load_checkpoint(path: str, like: Optional[Any] = None) -> Optional[Any]:

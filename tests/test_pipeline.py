@@ -69,6 +69,7 @@ def make_cfg(result_dir, **over):
         results_path=result_dir,
         dropout=0.0,
         checkpoint_every=2,
+        test_freq=2,
     )
     base.update(over)
     return LVAEConfig(**base)
@@ -98,6 +99,11 @@ def test_full_pipeline_hensman(result_dir):
     assert os.path.exists(os.path.join(result_dir, "model_final.ckpt"))
     assert os.path.exists(os.path.join(result_dir, "recon_complete.pdf"))
     assert os.path.exists(os.path.join(result_dir, "metrics.jsonl"))
+    # best-model artefacts from the test_freq-cadence validation callback
+    # (training.py:150, 200-204 -> predict_HealthMNIST.py:140)
+    assert os.path.exists(os.path.join(result_dir, "model_best.ckpt"))
+    assert os.path.exists(os.path.join(result_dir, "result_error_best.csv"))
+    assert os.path.exists(os.path.join(result_dir, "recon_complete_best.pdf"))
 
 
 def test_pipeline_standard_regime(result_dir):
@@ -280,3 +286,34 @@ def test_pipeline_gpapprox_validation(tmp_path):
         cfg.eps, type_kl="GPapprox", num_samples=2,
     )
     assert np.isfinite(res.net)
+
+
+def test_checkpoint_restore_survives_class_refactor(tmp_path):
+    """A like=-templated restore must not depend on the classes that defined
+    the saved pytree: leaves are matched by keypath (checkpoint.py format v2),
+    so NamedTuple renames and field reorders don't orphan checkpoints."""
+    from typing import NamedTuple
+
+    import jax.numpy as jnp
+
+    from lvae_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    class OldState(NamedTuple):
+        alpha: object
+        beta: object
+
+    class RenamedReordered(NamedTuple):  # same field names, new class + order
+        beta: object
+        alpha: object
+
+    state = OldState(alpha=jnp.arange(4.0), beta={"w": jnp.ones((2, 3))})
+    path = str(tmp_path / "refactor.ckpt")
+    save_checkpoint(path, state)
+
+    template = RenamedReordered(
+        beta={"w": jnp.zeros((2, 3))}, alpha=jnp.zeros(4)
+    )
+    restored = load_checkpoint(path, like=template)
+    assert isinstance(restored, RenamedReordered)
+    np.testing.assert_array_equal(np.asarray(restored.alpha), np.arange(4.0))
+    np.testing.assert_array_equal(np.asarray(restored.beta["w"]), np.ones((2, 3)))

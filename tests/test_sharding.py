@@ -104,3 +104,35 @@ def test_debug_health_and_finite_guard():
     assert_state_finite({"a": jnp.ones(3)})  # fine
     with pytest.raises(FloatingPointError, match="Non-finite"):
         assert_state_finite({"a": jnp.asarray([1.0, float("nan")])}, where="test")
+
+
+def test_compiled_program_actually_partitions():
+    """Inspect the compiled sharded epoch (HLO) — GSPMD must PARTITION the
+    [L, S, T, T] block stacks across both mesh axes and insert collectives,
+    not silently all-gather everything onto one device (SURVEY.md §2.2)."""
+    trainer = build_trainer()  # L=4, S=4 (subjects_per_batch), T=4, M=6
+    mesh = make_mesh(2, 2)
+    ShardedHensmanTrainer(trainer, mesh)
+    compiled = trainer.epochs_fn.lower(trainer.state, trainer.tdata, 1).compile()
+    txt = compiled.as_text()
+
+    # collectives present: the KLD's subject/latent sums lower to all-reduce
+    assert txt.count("all-reduce") > 0
+
+    # the [L, M, M] variational/kernel stacks live at their LOCAL shape
+    # (L/latent = 2): the global shape must not appear as a compute buffer
+    assert "f64[2,6,6]" in txt, "H/K0zz stacks not partitioned over 'latent'"
+    assert "f64[4,6,6]" not in txt, "found an unpartitioned [L,M,M] buffer"
+
+    # the [L, S, T, T] block-Cholesky stacks partition over BOTH axes:
+    # local [L/2, S/2, T, T]
+    assert "f64[2,2,4,4]" in txt, "B stacks not partitioned over 'data'x'latent'"
+    assert "f64[4,4,4,4]" not in txt and "f64[2,4,4,4]" not in txt, (
+        "found a block stack replicated on an axis"
+    )
+
+    # compiled output shardings keep (m, H) on the latent axis
+    out_state = jax.tree.leaves_with_path(compiled.output_shardings[0])
+    by_name = {jax.tree_util.keystr(p): s for p, s in out_state}
+    assert by_name[".H_nat"].spec[0] == "latent"
+    assert by_name[".m_nat"].spec[0] == "latent"

@@ -208,3 +208,21 @@ def test_hensman_bf16_compute_model():
     # params remain f32 (param_dtype default)
     leaf = trainer.state.trainables.vae["params"]["fc1"]["kernel"]
     assert leaf.dtype == jnp.float32
+
+
+def test_hensman_constrain_scales_freezes_noise():
+    """constrain_scales=True pins noise to 1 with raw_noise at a fixed point,
+    matching LVAE.py:186-188 (noise=1, raw_noise.requires_grad=False)."""
+    ds = tiny_cohort()
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    cfg = make_cfg(True)  # constrain_scales=True in make_cfg
+    assert cfg.constrain_scales
+    model = mv.SimpleVAE(latent_dim=cfg.latent_dim, num_dim=20)
+    z = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+    trainer = th.HensmanTrainer(model, cfg, ds, blocks, z, subjects_per_batch=3)
+    raw0 = np.asarray(trainer.state.trainables.gp.raw_noise).copy()
+    assert np.allclose(np.asarray(kx.constrain(raw0)), 1.0, atol=1e-6)
+    for _ in range(5):
+        trainer.run_epoch()
+    raw5 = np.asarray(trainer.state.trainables.gp.raw_noise)
+    assert np.array_equal(raw0, raw5), "raw_noise moved despite constrain_scales"
