@@ -51,6 +51,8 @@ def main(argv=None):
     p.add_argument("--subjects_per_batch", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--dump_state", type=str, default=None,
+                   help="pickle trained state + eval arrays for offline analysis")
     a = p.parse_args(argv)
 
     import jax
@@ -114,8 +116,12 @@ def main(argv=None):
         id_covariate=2,
     )
 
-    # ---- VAE pre-training (VAE.py flow)
-    pre = VAEPretrainer(model, train, loss_function="mse", dropout=False, seed=a.seed)
+    # ---- VAE pre-training (VAE.py flow). NB: the reference pre-trains with
+    # the NLL loss (VAEArgs default, parse_model_args.py:133) — with the
+    # per-pixel-normalised mse (~0.02/sample) the standard-normal KLD
+    # (~10/sample) dominates and collapses the posterior (observed: dead
+    # fc21 ReLU layer, constant latents).
+    pre = VAEPretrainer(model, train, loss_function="nll", dropout=False, seed=a.seed)
     pre.fit(a.pretrain_epochs, log_every=max(1, a.pretrain_epochs // 4))
 
     # ---- L-VAE Hensman training
@@ -146,6 +152,105 @@ def main(argv=None):
         id_covariate=2, eps=1e-5, results_path=a.out,
     )
 
+    if a.dump_state:
+        import pickle
+
+        with open(a.dump_state, "wb") as f:
+            pickle.dump(
+                {
+                    "trainables": jax.tree.map(np.asarray, tr),
+                    "z": np.asarray(trainer.tdata.z),
+                    "observed": observed, "future": future,
+                    "obs_mu": np.asarray(obs_mu),
+                    "train": train, "tfull": tfull,
+                },
+                f,
+            )
+        print(f"dumped state to {a.dump_state}")
+
+    sc0 = np.asarray(kx.constrain(tr.gp.kp0.raw_scale)).mean(axis=0)
+    sc1 = np.asarray(kx.constrain(tr.gp.kp1.raw_scale)).mean(axis=0)
+    print(f"learned kernel scales (mean over dims): K0 {sc0.round(3)} K1 {sc1.round(3)}")
+
+    # diagnostic: do the latents carry PERSISTENT per-subject appearance?
+    # (corr between each test subject's mean latent offset in the observed
+    # vs future half — the signal the id-kernel term transfers)
+    fut_mu, _ = encode_dataset(model, tr.vae, future.data)
+
+    def subj_means(mu_arr, labels):
+        ids = labels[:, 2]
+        return np.stack(
+            [np.asarray(mu_arr)[ids == s].mean(0) for s in np.unique(ids)]
+        )
+
+    om = subj_means(obs_mu, observed.labels)
+    fm = subj_means(fut_mu, future.labels)
+    oc, fc = om - om.mean(0), fm - fm.mean(0)
+    persist = float(
+        (oc * fc).sum() / max(np.sqrt((oc**2).sum() * (fc**2).sum()), 1e-12)
+    )
+    print(
+        f"subject-offset persistence corr(observed, future): {persist:.3f}; "
+        f"between-subject latent sd {oc.std():.4f}",
+        flush=True,
+    )
+
+    # ---- discrimination checks (VERDICT r1): the benchmark must be able to
+    # tell a working GP predictor from a broken one.
+    # (a) predicting an UNSEEN subject's future half must be strictly harder
+    #     than reconstructing a frame the encoder sees — with per-instance
+    #     digit diversity, appearance is not a function of the covariates;
+    # (b) ablating the subject-specific kernel K^(1) (scales → 0) must
+    #     measurably degrade the prediction: the id term is what carries the
+    #     subject's observed appearance into the future frames.
+    kp1_off = tr.gp.kp1._replace(
+        raw_scale=jnp.full_like(
+            tr.gp.kp1.raw_scale, kx.unconstrain(1e-8)
+        )
+    )
+    result_ablated = mse_test_gp_approx(
+        model, tr.vae, tr.gp._replace(kp1=kp1_off), noise, spec0, spec1,
+        future, observed.labels, obs_mu, trainer.tdata.z,
+        id_covariate=2, eps=1e-5, results_path=None,
+    )
+    # latent-space sensitivity: GP-predicted future latents vs the encoder's
+    # actual future latents, with and without the subject kernel — a sharper
+    # probe than decoded-image MSE (the decoder dilutes latent differences)
+    from lvae_tpu.ops.predict import predict_latents
+
+    obs_lab = observed.labels.astype(np.float32)
+    fut_lab = future.labels.astype(np.float32)
+    zp_f = np.asarray(predict_latents(
+        spec0, spec1, tr.gp.kp0, tr.gp.kp1, noise,
+        obs_lab, np.asarray(obs_mu), fut_lab, trainer.tdata.z, 2, 1e-5,
+    ))
+    zp_a = np.asarray(predict_latents(
+        spec0, spec1, tr.gp.kp0, kp1_off, noise,
+        obs_lab, np.asarray(obs_mu), fut_lab, trainer.tdata.z, 2, 1e-5,
+    ))
+    fut_np = np.asarray(fut_mu)
+    lat_full = float(((zp_f - fut_np) ** 2).mean())
+    lat_abl = float(((zp_a - fut_np) ** 2).mean())
+    lat_ratio = lat_abl / max(lat_full, 1e-12)
+
+    gp_vs_recon = result.gp_mse / max(result.vae_mse, 1e-12)
+    ablation_ratio = result_ablated.gp_mse / max(result.gp_mse, 1e-12)
+    print(
+        f"GP-pred MSE {result.gp_mse:.5f} vs recon MSE {result.vae_mse:.5f} "
+        f"(ratio {gp_vs_recon:.2f}); K1-ablated GP-pred MSE "
+        f"{result_ablated.gp_mse:.5f} (image ratio {ablation_ratio:.2f}); "
+        f"latent-space ablation ratio {lat_ratio:.2f}",
+        flush=True,
+    )
+    assert result.gp_mse > 1.1 * result.vae_mse, (
+        "benchmark not discriminative: GP future prediction is no harder "
+        f"than reconstruction ({result.gp_mse:.5f} vs {result.vae_mse:.5f})"
+    )
+    assert lat_ratio > 1.05 or ablation_ratio > 1.05, (
+        "benchmark not discriminative: ablating the subject kernel did not "
+        f"degrade prediction (image {ablation_ratio:.3f}, latent {lat_ratio:.3f})"
+    )
+
     # ---- missing-pixel imputation: reconstruct the test subjects' frames and
     # score ONLY the pixels the model never saw (ground truth from the
     # generator). The paper's other headline capability (README.MD:7).
@@ -169,6 +274,9 @@ def main(argv=None):
                 "vs_baseline": round(0.025 / result.gp_mse, 3),
                 "extra": {
                     "vae_recon_mse": round(result.vae_mse, 5),
+                    "gp_vs_recon_ratio": round(gp_vs_recon, 3),
+                    "k1_ablation_mse": round(result_ablated.gp_mse, 5),
+                    "k1_ablation_ratio": round(ablation_ratio, 3),
                     "imputation_mse_missing_pixels": round(imput_mse, 5),
                     "paper_lvae_dim32": 0.025,
                     "subjects": a.subjects,

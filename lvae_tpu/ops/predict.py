@@ -82,7 +82,17 @@ def gp_predict(
     k0xz = kx.kernel_matrix(spec0, kp0, x_flat, z, mask1=mask_flat)
     latent_dim = k0xz.shape[0]
     k0xz = k0xz.reshape(latent_dim, p, t, m_ind)
-    k0zz = kx.kernel_matrix(spec0, kp0, z, z) + eps * jnp.eye(m_ind, dtype=dtype)
+    k0zz = kx.kernel_matrix(spec0, kp0, z, z)
+    # f32 needs the same adaptive relative jitter as the training path
+    # (ops/elbo.py gp_block_operators): K0zz is rank-deficient by
+    # construction with few distinct covariate values, and H = K0zz + Σ ...
+    # inherits that — observed NaN Cholesky at trained hyperparameters.
+    if dtype == jnp.float32:
+        diag_mean = jnp.mean(jnp.diagonal(k0zz, axis1=-2, axis2=-1))
+        eps_eff = jnp.maximum(jnp.asarray(eps, dtype), 3e-4 * diag_mean)
+    else:
+        eps_eff = jnp.asarray(eps, dtype)
+    k0zz = k0zz + eps_eff * jnp.eye(m_ind, dtype=dtype)
     k0Xz = kx.kernel_matrix(spec0, kp0, X_flat, z, mask1=Xmask_flat)
 
     # B = K1 + σ²I per subject block (unit diagonal on padding)
@@ -94,6 +104,9 @@ def gp_predict(
     ib_k0xz = ib @ k0xz
     h = k0zz + jnp.einsum("lptm,lptn->lmn", k0xz, ib_k0xz)
     h = la.symmetrize(h)
+    if dtype == jnp.float32:
+        h_diag = jnp.mean(jnp.diagonal(h, axis1=-2, axis2=-1))
+        h = h + (3e-4 * h_diag) * jnp.eye(m_ind, dtype=dtype)
     lh = la.cholesky(h)
 
     mu = (mu_b * mask[..., None]).transpose(2, 0, 1)  # [L, P, T]
