@@ -107,7 +107,39 @@ def bench_jax():
         times.append((time.perf_counter() - t0) / chunk)
     m = ms[-1]
     assert np.isfinite(m.net), m
-    return float(np.median(times)), compile_s, m
+    epoch_s = float(np.median(times))
+
+    # ---- roofline accounting: XLA's cost model for the compiled program.
+    # HloCostAnalysis counts each while/scan BODY once (verified: 'flops' is
+    # identical for 1-, 5- and 25-epoch chunks), so the reported number is
+    # one batch step (+ small setup); an epoch is n_batches executions.
+    roofline = {}
+    try:
+        comp = trainer.epochs_fn.lower(trainer.state, trainer.tdata, chunk).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        n_batches = P // SPB
+        flops_epoch = float(ca.get("flops", 0.0)) * n_batches
+        bytes_epoch = float(ca.get("bytes accessed", 0.0)) * n_batches
+        kind = jax.devices()[0].device_kind
+        # TPU v5e: 197 TFLOP/s bf16 / ~98 TFLOP/s f32 MXU, 819 GB/s HBM
+        peak_flops = 197e12 if "v5" in kind else 275e12
+        hbm_bw = 819e9 if "v5" in kind else 1200e9
+        ach = flops_epoch / epoch_s
+        hbm = bytes_epoch / epoch_s
+        roofline = {
+            "flops_per_epoch_G": round(flops_epoch / 1e9, 2),
+            "hbm_bytes_per_epoch_G": round(bytes_epoch / 1e9, 2),
+            "achieved_tflops": round(ach / 1e12, 3),
+            "mfu_pct_bf16_peak": round(100 * ach / peak_flops, 2),
+            # modeled traffic (per-op operand+output bytes, fusion-internal
+            # traffic included) — an upper bound on real HBM bytes
+            "hbm_modeled_util_pct": round(100 * hbm / hbm_bw, 1),
+            "device_kind": kind,
+        }
+    except Exception as e:  # noqa: BLE001
+        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+    return epoch_s, compile_s, m, roofline
 
 
 def bench_torch_baseline(max_batches=3):
@@ -232,7 +264,7 @@ def bench_torch_baseline(max_batches=3):
 
 
 def main():
-    jax_epoch_s, compile_s, metrics = bench_jax()
+    jax_epoch_s, compile_s, metrics, roofline = bench_jax()
     if os.environ.get("BENCH_SKIP_TORCH"):
         torch_epoch_s = None
     else:
@@ -255,6 +287,7 @@ def main():
                         round(torch_epoch_s * 1000, 1) if torch_epoch_s else None
                     ),
                     "net_loss": round(float(metrics.net), 2),
+                    **roofline,
                 },
             }
         )
