@@ -183,3 +183,163 @@ def kernel_matrix_pallas(
     if mask2 is not None:
         out = out * mask2.astype(dtype)[None, :]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed block-pair builder for the TRAINING hot shapes.
+#
+# The training step evaluates kernel0 and kernel1 on per-subject time blocks:
+# [L, S, T, T] with T ≈ 20 — a layout whose trailing T-dim occupies 20 of 128
+# lanes (~16% VPU occupancy, the dominant cost of the kernel build at the
+# sample config). Here both stacks are computed in ONE Pallas pass at layout
+# [L, S, T·T]: the fused (t1, t2) pair axis fills the lanes (T² = 400), the
+# subject axis sits on sublanes, and both specs share the covariate loads.
+# The only consumer-facing cost is the final lanes-T² → lanes-T reshape,
+# which is included in every A/B measurement (benchmarks/README.md).
+# ---------------------------------------------------------------------------
+
+
+def _make_block_pair_body(spec0: kx.KernelSpec, spec1: kx.KernelSpec,
+                          L: int, S: int, TT: int):
+    def accumulate(comps, r1_ref, r2_ref, mm, s_ref, g_ref):
+        acc = jnp.zeros((L, S, TT), jnp.float32)
+        for c, comp in enumerate(comps):
+            d = mm
+            for col in comp.eq_cols:
+                d = d * (r1_ref[col] == r2_ref[col]).astype(jnp.float32)
+            for col in comp.and_cols:
+                d = d * ((r1_ref[col] + r2_ref[col]) == 2.0).astype(jnp.float32)
+            if comp.cat_mod[0] >= 0:
+                col, num = comp.cat_mod
+                eq = r1_ref[col] == r2_ref[col]
+                d = d * jnp.where(eq, 1.0, -1.0 / (num - 1)).astype(jnp.float32)
+            scale_b = s_ref[c][:, :, None]  # [L, 1, 1]
+            if comp.rbf_col >= 0:
+                diff = r1_ref[comp.rbf_col] - r2_ref[comp.rbf_col]  # [S, TT]
+                sq = diff * diff
+                term = scale_b * jnp.exp(-sq[None] * g_ref[c][:, :, None]) * d[None]
+            else:
+                term = scale_b * d[None]
+            acc = acc + term
+        return acc
+
+    def body(r1_ref, r2_ref, mm_ref, s0_ref, g0_ref, s1_ref, g1_ref,
+             out0_ref, out1_ref):
+        mm = mm_ref[:]  # [S, TT]
+        out0_ref[:] = accumulate(spec0.components, r1_ref, r2_ref, mm, s0_ref, g0_ref)
+        out1_ref[:] = accumulate(spec1.components, r1_ref, r2_ref, mm, s1_ref, g1_ref)
+
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("spec0", "spec1", "interpret"))
+def _block_pair_pallas(spec0, spec1, s0, g0, s1, g1, xb, mask, interpret=False):
+    """xb [S, T, Q], mask [S, T] → (K0_st, K1_st) each [L, S, T, T] f32."""
+    s_dim, t_dim, q = xb.shape
+    tt = t_dim * t_dim
+    l = s0.shape[0]
+    xt = jnp.swapaxes(xb.astype(jnp.float32), 0, 1)  # [T, S, Q]
+    r1 = (
+        jnp.broadcast_to(xt[:, None], (t_dim, t_dim, s_dim, q))
+        .reshape(tt, s_dim, q).transpose(2, 1, 0)
+    )  # [Q, S, TT] — covariate value at t1
+    r2 = (
+        jnp.broadcast_to(xt[None, :], (t_dim, t_dim, s_dim, q))
+        .reshape(tt, s_dim, q).transpose(2, 1, 0)
+    )  # value at t2
+    mf = mask.astype(jnp.float32)
+    mm = (mf[:, :, None] * mf[:, None, :]).reshape(s_dim, tt)
+
+    def arrange(p):  # [L, C] → [C, L, 1] (VMEM-friendly per-component reads)
+        return jnp.swapaxes(p.astype(jnp.float32), 0, 1)[:, :, None]
+
+    out0, out1 = pl.pallas_call(
+        _make_block_pair_body(spec0, spec1, l, s_dim, tt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((l, s_dim, tt), jnp.float32),
+            jax.ShapeDtypeStruct((l, s_dim, tt), jnp.float32),
+        ),
+        interpret=interpret,
+    )(r1, r2, mm, arrange(s0), arrange(g0), arrange(s1), arrange(g1))
+    return (
+        out0.reshape(l, s_dim, t_dim, t_dim),
+        out1.reshape(l, s_dim, t_dim, t_dim),
+    )
+
+
+def _auto_interpret() -> bool:
+    # compiled Mosaic on TPU; interpreter elsewhere (CPU tests)
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_block_pair(spec0, spec1, s0, g0, s1, g1, xb, mask):
+    """(K0_st, K1_st) [L,S,T,T] from CONSTRAINED (scale, g=1/(2ℓ²)) params.
+
+    Differentiable in the four parameter arrays; covariates/mask are data.
+    """
+    return _block_pair_pallas(
+        spec0, spec1, s0, g0, s1, g1, xb, mask, interpret=_auto_interpret()
+    )
+
+
+def _block_pair_fwd(spec0, spec1, s0, g0, s1, g1, xb, mask):
+    out = _block_pair_pallas(
+        spec0, spec1, s0, g0, s1, g1, xb, mask, interpret=_auto_interpret()
+    )
+    return out, (s0, g0, s1, g1, xb, mask)
+
+
+def _block_pair_bwd(spec0, spec1, res, cots):
+    s0, g0, s1, g1, xb, mask = res
+    cot0, cot1 = cots
+    xf = xb.astype(jnp.float32)
+    mf = mask.astype(jnp.float32)
+    mm3 = mf[:, :, None] * mf[:, None, :]  # [S, T, T]
+
+    def grads(spec, scale, g, cot):
+        ds, dg = [], []
+        for c, comp in enumerate(spec.components):
+            disc, sqd = jax.vmap(lambda x: kx._component_base(comp, x, x))(xf)
+            base = disc if disc is not None else jnp.ones_like(mm3)
+            base = base * mm3
+            if sqd is not None:
+                e = jnp.exp(-sqd[None] * g[:, c, None, None, None])
+                ke = base[None] * e
+                ds.append(jnp.einsum("lstu,lstu->l", cot, ke))
+                dg.append(
+                    -jnp.einsum("lstu,lstu->l", cot, ke * sqd[None]) * scale[:, c]
+                )
+            else:
+                ds.append(jnp.einsum("lstu,stu->l", cot, base))
+                dg.append(jnp.zeros(scale.shape[0], scale.dtype))
+        return (
+            jnp.stack(ds, axis=1).astype(scale.dtype),
+            jnp.stack(dg, axis=1).astype(g.dtype),
+        )
+
+    d_s0, d_g0 = grads(spec0, s0, g0, cot0.astype(jnp.float32))
+    d_s1, d_g1 = grads(spec1, s1, g1, cot1.astype(jnp.float32))
+    return d_s0, d_g0, d_s1, d_g1, jnp.zeros_like(xb), jnp.zeros_like(mask)
+
+
+fused_block_pair.defvjp(_block_pair_fwd, _block_pair_bwd)
+
+
+def block_kernel_pair_pallas(spec0, spec1, kp0, kp1, xb, mask):
+    """Drop-in for the (block_kernel_matrix(spec0), block_kernel_matrix(spec1))
+    pair in the training step; returns arrays in ``xb``'s dtype."""
+    def cg(kp):
+        scale = kx.constrain(kp.raw_scale)
+        ls = kx.constrain(kp.raw_lengthscale)
+        return scale, 0.5 / (ls * ls)
+
+    s0, g0 = cg(kp0)
+    s1, g1 = cg(kp1)
+    k0, k1 = fused_block_pair(spec0, spec1, s0, g0, s1, g1, xb, mask)
+    return k0.astype(xb.dtype), k1.astype(xb.dtype)

@@ -125,8 +125,24 @@ def gp_block_operators(
     k0zz = k0zz + eps_eff * jnp.eye(m_ind, dtype=dtype)
     lk0zz, ik0zz = la.cholesky_and_inverse(k0zz)
 
-    k0_st = kx.block_kernel_matrix(spec0, kp0, xb, mask)
-    k1_st = kx.block_kernel_matrix(spec1, kp1, xb, mask)
+    # Block-pair kernel stacks: the natural [L, S, T, T] layout puts T ≈ 20
+    # on the 128-wide lanes (~16% VPU occupancy). On TPU/f32 the lane-packed
+    # Pallas builder computes both stacks at [L, S, T²] in one pass (VMEM
+    # budget permitting); XLA everywhere else.
+    use_pallas = (
+        kx.use_pallas_block_pair
+        and dtype == jnp.float32
+        and kp0.raw_scale.ndim == 2
+        and (kp0.raw_scale.shape[0] * p * t * t * 4) <= 2 * 1024 * 1024
+        and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from lvae_tpu.kernels_pallas.kernel_matrix import block_kernel_pair_pallas
+
+        k0_st, k1_st = block_kernel_pair_pallas(spec0, spec1, kp0, kp1, xb, mask)
+    else:
+        k0_st = kx.block_kernel_matrix(spec0, kp0, xb, mask)
+        k1_st = kx.block_kernel_matrix(spec1, kp1, xb, mask)
 
     # diag: σ_l² on real samples, 1 on padding (unit pivot ⇒ logdet offset 0).
     diag = mask[None] * noise[:, None, None] + (1.0 - mask)[None]

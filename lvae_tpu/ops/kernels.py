@@ -43,6 +43,13 @@ DEFAULT_NOISE = math.log(2.0)  # softplus(0), GPyTorch GaussianLikelihood defaul
 
 # dispatch large square kernel evaluations to the fused Pallas builder
 use_pallas_kernel_matrix: bool = True
+# Lane-packed Pallas builder for the per-subject [L, S, T, T] block pair in
+# the training step (kernels_pallas/kernel_matrix.py:block_kernel_pair_pallas).
+# Default OFF: measured a wash at the sample-config shapes — in isolation
+# (0.138 vs 0.139 ms) and in the real step (19.1 vs 18.9 ms/epoch) — the
+# build is floored by per-op overhead, not VPU lane occupancy
+# (benchmarks/README.md "lane-packed builder" entry).
+use_pallas_block_pair: bool = False
 
 
 class KernelComponent(NamedTuple):

@@ -70,3 +70,71 @@ def test_fused_vjp_matches_autodiff():
     g_fused = loss_fused(kp.raw_scale, kp.raw_lengthscale)
     np.testing.assert_allclose(np.asarray(g_fused[0]), np.asarray(g_ref[0]), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g_fused[1]), np.asarray(g_ref[1]), rtol=1e-4, atol=1e-6)
+
+
+def test_block_pair_matches_reference_interpret():
+    """Lane-packed [L,S,T,T] pair builder == XLA block_kernel_matrix."""
+    from lvae_tpu.kernels_pallas.kernel_matrix import _block_pair_pallas
+
+    rng = np.random.default_rng(0)
+    L, S, T, Q = 4, 5, 6, 6
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2], sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+        id_covariate=2,
+    )
+    xb = rng.normal(size=(S, T, Q)).astype(np.float32)
+    xb[:, :, 2] = np.repeat(np.arange(S), T).reshape(S, T)
+    xb = jnp.asarray(xb)
+    mask = jnp.asarray((rng.uniform(size=(S, T)) > 0.3).astype(np.float32))
+    kp0 = kx.init_kernel_params(spec0, L)
+    kp1 = kx.init_kernel_params(spec1, L)
+    s0, g0 = kx.constrain(kp0.raw_scale), 0.5 / kx.constrain(kp0.raw_lengthscale) ** 2
+    s1, g1 = kx.constrain(kp1.raw_scale), 0.5 / kx.constrain(kp1.raw_lengthscale) ** 2
+    k0p, k1p = _block_pair_pallas(spec0, spec1, s0, g0, s1, g1, xb, mask, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(k0p), np.asarray(kx.block_kernel_matrix(spec0, kp0, xb, mask)),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(k1p), np.asarray(kx.block_kernel_matrix(spec1, kp1, xb, mask)),
+        atol=1e-6,
+    )
+
+
+def test_block_pair_custom_vjp_matches_autodiff():
+    from lvae_tpu.kernels_pallas.kernel_matrix import fused_block_pair
+
+    rng = np.random.default_rng(1)
+    L, S, T, Q = 3, 4, 5, 6
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2], sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+        id_covariate=2,
+    )
+    xb = rng.normal(size=(S, T, Q)).astype(np.float32)
+    xb[:, :, 2] = np.repeat(np.arange(S), T).reshape(S, T)
+    xb = jnp.asarray(xb)
+    mask = jnp.asarray((rng.uniform(size=(S, T)) > 0.2).astype(np.float32))
+    kp0 = kx.init_kernel_params(spec0, L)
+    kp1 = kx.init_kernel_params(spec1, L)
+    s0, g0 = kx.constrain(kp0.raw_scale), 0.5 / kx.constrain(kp0.raw_lengthscale) ** 2
+    s1, g1 = kx.constrain(kp1.raw_scale), 0.5 / kx.constrain(kp1.raw_lengthscale) ** 2
+    w0 = jnp.asarray(rng.normal(size=(L, S, T, T)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(L, S, T, T)).astype(np.float32))
+
+    def loss_pallas(a, b, c, d):
+        k0, k1 = fused_block_pair(spec0, spec1, a, b, c, d, xb, mask)
+        return (k0 * w0).sum() + (k1 * w1).sum()
+
+    def loss_ref(a, b, c, d):
+        kpa = kx.KernelParams(kx.unconstrain(a), kx.unconstrain(jnp.sqrt(0.5 / b)))
+        kpb = kx.KernelParams(kx.unconstrain(c), kx.unconstrain(jnp.sqrt(0.5 / d)))
+        k0 = kx.block_kernel_matrix(spec0, kpa, xb, mask)
+        k1 = kx.block_kernel_matrix(spec1, kpb, xb, mask)
+        return (k0 * w0).sum() + (k1 * w1).sum()
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(s0, g0, s1, g1)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(s0, g0, s1, g1)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
