@@ -127,3 +127,76 @@ def try_load_checkpoint(path: str, like: Optional[Any] = None) -> Optional[Any]:
     except Exception as e:  # noqa: BLE001 — any corrupt checkpoint → fresh start
         print(f"Checkpoint load failed ({path}): {e}")
         return None
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend — same single-snapshot semantics, production storage layer:
+# atomic directory commit, async save (training continues while the host
+# writes), multi-host-aware array handling. The pickle format above remains
+# the zero-dependency default; select orbax per call.
+# ---------------------------------------------------------------------------
+
+
+def _is_key(x) -> bool:
+    return hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+
+
+def _strip_keys(tree):
+    """Typed PRNG keys → raw uint32 key data (orbax stores plain arrays)."""
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(jax.random.key_data(x)) if _is_key(x) else x, tree
+    )
+
+
+def _rewrap_keys(restored, like):
+    return jax.tree_util.tree_map(
+        lambda r, t: jax.random.wrap_key_data(jnp.asarray(r)) if _is_key(t) else r,
+        restored,
+        like,
+    )
+
+
+_async_checkpointer = None
+
+
+def save_checkpoint_orbax(path: str, state: Any, async_save: bool = False) -> str:
+    """Snapshot ``state`` to an orbax checkpoint directory at ``path``.
+
+    With ``async_save`` the host write proceeds in the background —
+    call :func:`wait_for_async_saves` before reading the checkpoint or
+    exiting the process.
+    """
+    global _async_checkpointer
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    stripped = _strip_keys(state)
+    if async_save:
+        if _async_checkpointer is None:
+            _async_checkpointer = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler()
+            )
+        _async_checkpointer.save(
+            path, args=ocp.args.StandardSave(stripped), force=True
+        )
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, stripped, force=True)
+        ckptr.close()
+    return path
+
+
+def wait_for_async_saves() -> None:
+    if _async_checkpointer is not None:
+        _async_checkpointer.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, like: Any) -> Any:
+    """Restore an orbax snapshot onto the ``like`` template (required — it
+    carries the pytree structure, dtypes/shardings and typed-key positions)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), _strip_keys(like))
+    ckptr.close()
+    return _rewrap_keys(restored, like)

@@ -317,3 +317,41 @@ def test_checkpoint_restore_survives_class_refactor(tmp_path):
     assert isinstance(restored, RenamedReordered)
     np.testing.assert_array_equal(np.asarray(restored.alpha), np.arange(4.0))
     np.testing.assert_array_equal(np.asarray(restored.beta["w"]), np.ones((2, 3)))
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    """Orbax backend: sync + async save, restore onto a template (typed PRNG
+    keys round-trip through key-data stripping)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lvae_tpu.utils.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+        wait_for_async_saves,
+    )
+
+    state = {
+        "w": jnp.arange(6.0).reshape(2, 3),
+        "opt": (jnp.ones(4), jnp.zeros((), jnp.int32)),
+        "rng": jax.random.key(42),
+    }
+    path = str(tmp_path / "orbax_sync")
+    save_checkpoint_orbax(path, state)
+    like = jax.tree.map(jnp.zeros_like, state)
+    restored = load_checkpoint_orbax(path, like)
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(state["w"]))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(restored["rng"])),
+        np.asarray(jax.random.key_data(state["rng"])),
+    )
+    # same stream after restore
+    a = jax.random.normal(restored["rng"], (3,))
+    b = jax.random.normal(state["rng"], (3,))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    apath = str(tmp_path / "orbax_async")
+    save_checkpoint_orbax(apath, state, async_save=True)
+    wait_for_async_saves()
+    restored2 = load_checkpoint_orbax(apath, like)
+    np.testing.assert_array_equal(np.asarray(restored2["w"]), np.asarray(state["w"]))
