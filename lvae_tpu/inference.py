@@ -134,3 +134,85 @@ class LVAEPredictor(NamedTuple):
             observed_data, observed_labels, query_labels
         )
         return self.decode(z_pred)
+
+    def aot_compile(self, batch_size: int = 256) -> "CompiledServing":
+        """AOT-compile the hot serving paths at a fixed batch size."""
+        return CompiledServing(self, batch_size)
+
+
+class CompiledServing:
+    """Ahead-of-time compiled serving bundle (fixed batch size).
+
+    ``LVAEPredictor.aot_compile`` lowers and compiles the hot serving entry
+    points (encode / decode / impute-reconstruct) at a fixed batch size, so
+    the first request pays zero compile latency — the deployment property
+    the training-time jit cache cannot give a fresh process. Requests of any
+    length are served by internal fixed-size chunking with tail padding
+    (static shapes: one executable per bundle, never a recompile).
+    """
+
+    def __init__(self, predictor: "LVAEPredictor", batch_size: int):
+        self.batch_size = int(batch_size)
+        self.predictor = predictor
+        model = predictor.model
+        params = predictor.vae_params
+        latent = predictor.basis_mu.shape[1]
+        if getattr(model, "is_conv", False):
+            hw = int(np.sqrt(model.num_dim))
+            in_shape = (self.batch_size, hw, hw, 1)
+        else:
+            in_shape = (self.batch_size, model.num_dim)
+        x_aval = jax.ShapeDtypeStruct(in_shape, jnp.float32)
+        z_aval = jax.ShapeDtypeStruct((self.batch_size, latent), jnp.float32)
+
+        def _encode(p, x):
+            return model.apply(p, x, deterministic=True, method="encode")
+
+        def _decode(p, z):
+            return model.apply(p, z, deterministic=True, method="decode")
+
+        def _recon(p, x):
+            mu, _ = _encode(p, x)
+            return _decode(p, mu)
+
+        self._encode = jax.jit(_encode).lower(params, x_aval).compile()
+        self._decode = jax.jit(_decode).lower(params, z_aval).compile()
+        self._recon = jax.jit(_recon).lower(params, x_aval).compile()
+        self._in_shape = in_shape
+
+    def _chunked(self, fn, x: np.ndarray) -> np.ndarray:
+        n, b = x.shape[0], self.batch_size
+        outs = []
+        for i in range(0, n, b):
+            chunk = x[i : i + b]
+            pad = b - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            out = np.asarray(fn(self.predictor.vae_params, jnp.asarray(chunk)))
+            outs.append(out[: b - pad] if pad else out)
+        return np.concatenate(outs) if outs else np.zeros((0,))
+
+    def encode(self, data) -> np.ndarray:
+        data = np.asarray(data, np.float32).reshape((-1,) + self._in_shape[1:])
+        mus = []
+        n, b = data.shape[0], self.batch_size
+        for i in range(0, n, b):
+            chunk = data[i : i + b]
+            pad = b - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            mu, _ = self._encode(self.predictor.vae_params, jnp.asarray(chunk))
+            mu = np.asarray(mu)
+            mus.append(mu[: b - pad] if pad else mu)
+        return np.concatenate(mus)
+
+    def decode(self, latents) -> np.ndarray:
+        return self._chunked(self._decode, np.asarray(latents, np.float32))
+
+    def impute(self, data, mask=None) -> np.ndarray:
+        data = np.asarray(data, np.float32).reshape((-1,) + self._in_shape[1:])
+        recon = self._chunked(self._recon, data)
+        if mask is None:
+            return recon
+        mask = np.asarray(mask, np.float32).reshape(recon.shape)
+        return data.reshape(recon.shape) * mask + recon * (1.0 - mask)

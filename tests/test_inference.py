@@ -56,3 +56,30 @@ def test_predictor_from_checkpoint(tmp_path):
     pred = LVAEPredictor.from_checkpoint(path, cfg, dataset=ds)
     z = pred.encode(ds.data[:4])
     assert z.shape == (4, cfg.latent_dim)
+
+
+def test_aot_compiled_serving_matches_jit_path(tmp_path):
+    """AOT bundle: fixed-batch executables, chunked arbitrary-N requests,
+    results identical to the jit serving path."""
+    cfg = make_cfg(str(tmp_path), epochs=1, run_validation=False,
+                   generate_images=False, run_tests=False)
+    ds = healthmnist_like(p=6, t=5, seed=0)
+    pipeline = LVAEPipeline(cfg, {"train": ds})
+    pipeline.build_trainer()
+    pipeline.train()
+    pred = LVAEPredictor.from_pipeline(pipeline)
+    bundle = pred.aot_compile(batch_size=8)
+
+    frames = ds.data[:13]  # not a multiple of the batch size
+    mask = ds.mask[:13]
+    mu_aot = bundle.encode(frames)
+    mu_jit = pred.encode(frames)
+    np.testing.assert_allclose(mu_aot, mu_jit, rtol=1e-6, atol=1e-6)
+
+    imput_aot = bundle.impute(frames, mask)
+    imput_jit = pred.impute(frames, mask)
+    np.testing.assert_allclose(imput_aot, imput_jit, rtol=1e-6, atol=1e-6)
+
+    dec_aot = bundle.decode(mu_aot[:5])
+    dec_jit = pred.decode(mu_jit[:5])
+    np.testing.assert_allclose(dec_aot, dec_jit, rtol=1e-6, atol=1e-6)
