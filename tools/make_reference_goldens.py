@@ -379,6 +379,31 @@ def main():
     )
     out.update(x_test_fix=x_test2, z_pred_fix=zp2.detach().numpy())
 
+    # ---------------------------------- batch_predict (fixed-T, utils.py:213)
+    zp_bp = ru.batch_predict(
+        L, w0A, w1A, lik, tx, torch.as_tensor(x_test2), tmu, tz_b, P, T,
+        id_cov, eps,
+    )
+    out["z_pred_batch"] = zp_bp.detach().numpy()
+
+    # -------------------------- predict (per-dim single kernel, utils.py:298)
+    pred_per_dim = []
+    for l in range(L):
+        k0l, k1l = gm.generate_kernel_batched(
+            1, specA["cat_kernel"], specA["bin_kernel"], specA["sqexp_kernel"],
+            specA["cat_int_kernel"], specA["bin_int_kernel"],
+            specA["covariate_missing_val"], id_cov,
+        )
+        _walk_set_params(k0l, scales0[l : l + 1], ls0[l : l + 1])
+        _walk_set_params(k1l, scales1[l : l + 1], ls1[l : l + 1])
+        likl = make_likelihood(noise[l : l + 1])
+        zp_l = ru.predict(
+            _Eval(k0l), _Eval(k1l), likl, tx, torch.as_tensor(x_test2),
+            tmu[:, l], tz, P, T, id_cov, eps,
+        )
+        pred_per_dim.append(zp_l.detach().numpy())
+    out["z_pred_per_dim"] = np.stack(pred_per_dim, axis=1)  # [Nq, L]
+
     # ------------------------------ Spec B: bin/bin-int + missing-value masks
     QB = 7
     specB = dict(
