@@ -115,6 +115,7 @@ class LVAEConfig:
     data_mesh: int = 1  # devices on the 'data' (subject) mesh axis
     latent_mesh: int = 1  # devices on the 'latent' mesh axis
     checkpoint_every: int = 25
+    learn_inducing: bool = False  # optimise inducing points (hensman only)
     profile: bool = False
     debug_nans: bool = False  # raise with diagnostics if state degrades
 

@@ -139,6 +139,7 @@ class LVAEPipeline:
                 natural_gradient_lr=cfg.natural_gradient_lr,
                 constrain_scales=cfg.constrain_scales, eps=cfg.eps,
                 dropout=cfg.dropout > 0, vy_fixed=cfg.vy_fixed,
+                learn_inducing=cfg.learn_inducing,
             )
             self.trainer = HensmanTrainer(
                 self.model, hcfg, self.dataset, self.blocks, z,

@@ -48,6 +48,7 @@ class HensmanConfig(NamedTuple):
     eps: float
     dropout: bool  # apply dropout in training forward passes
     vy_fixed: bool = False  # freeze the observation noise (VAE.py:41-42)
+    learn_inducing: bool = False  # optimise inducing points (LVAE.py:208 intent)
 
 
 class StepMetrics(NamedTuple):
@@ -129,6 +130,11 @@ def batch_loss(
 
     gp = trainables.gp
     noise = _noise_from(gp, cfg)
+    z_pts = (
+        trainables.z
+        if (cfg.learn_inducing and trainables.z is not None)
+        else tdata.z
+    )
     xb = (labels * valid[:, None]).reshape(s, t, -1)
     mu_b0 = mu.reshape(s, t, cfg.latent_dim)
     lv_b0 = log_var.reshape(s, t, cfg.latent_dim)
@@ -143,7 +149,7 @@ def batch_loss(
         mu_b0 = cst(mu_b0, P("data", None, None))
         lv_b0 = cst(lv_b0, P("data", None, None))
     ops = eb.gp_block_operators(
-        cfg.spec0, cfg.spec1, gp.kp0, gp.kp1, noise, xb, tdata.z,
+        cfg.spec0, cfg.spec1, gp.kp0, gp.kp1, noise, xb, z_pts,
         mask=bmask, eps=cfg.eps,
     )
     if cfg.natural_gradient:
@@ -317,11 +323,16 @@ class HensmanTrainer:
         m0, h0 = st.init_variational(
             cfg.latent_dim, z.shape[0], cfg.natural_gradient, seed, dtype
         )
+        z_train = jnp.asarray(z, dtype) if cfg.learn_inducing else None
         if cfg.natural_gradient:
-            trainables = st.Trainables(vae=vae_params, gp=gp, m=None, h_factor=None)
+            trainables = st.Trainables(
+                vae=vae_params, gp=gp, m=None, h_factor=None, z=z_train
+            )
             m_nat, H_nat = m0, h0
         else:
-            trainables = st.Trainables(vae=vae_params, gp=gp, m=m0, h_factor=h0)
+            trainables = st.Trainables(
+                vae=vae_params, gp=gp, m=m0, h_factor=h0, z=z_train
+            )
             m_nat, H_nat = None, None
         self.state = st.HensmanState(
             trainables=trainables,
@@ -336,6 +347,10 @@ class HensmanTrainer:
     def run_epochs(self, n: int):
         """Run ``n`` epochs in one dispatch; returns per-epoch metrics."""
         self.state, ms = self.epochs_fn(self.state, self.tdata, n)
+        if self.cfg.learn_inducing and self.state.trainables.z is not None:
+            # keep the serving/eval view (tdata.z) in sync with the learned
+            # points so every downstream consumer sees the optimised basis
+            self.tdata = self.tdata._replace(z=self.state.trainables.z)
         out = []
         host = jax.tree.map(np.asarray, ms)
         for e in range(n):

@@ -35,6 +35,12 @@ class Trainables(NamedTuple):
     gp: GPParams
     m: Optional[jax.Array]  # [L, M, 1] — only when not natural_gradient
     h_factor: Optional[jax.Array]  # [L, M, M] free factor (PSD_H = h h^T)
+    # [M, Q] learnable inducing points (learn_inducing=True). The reference
+    # *intended* to optimise them but left the optimiser lines commented out
+    # (LVAE.py:208, 269); here it is an opt-in capability. Discrete covariate
+    # columns receive exactly-zero gradients (equality factors are piecewise
+    # constant), so only the continuous columns move — the natural behaviour.
+    z: Optional[jax.Array] = None
 
 
 class TrainData(NamedTuple):

@@ -226,3 +226,36 @@ def test_hensman_constrain_scales_freezes_noise():
         trainer.run_epoch()
     raw5 = np.asarray(trainer.state.trainables.gp.raw_noise)
     assert np.array_equal(raw0, raw5), "raw_noise moved despite constrain_scales"
+
+
+def test_learned_inducing_points():
+    """learn_inducing=True: continuous covariate columns of z move (and help
+    the bound), discrete columns stay exactly put (equality factors have
+    piecewise-constant zero gradient), and the trainer's tdata view syncs."""
+    ds = tiny_cohort(p=8, t=4)
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    cfg = make_cfg(True, p=8)._replace(learn_inducing=True, P_tot=8, N_tot=32)
+    model = mv.SimpleVAE(latent_dim=cfg.latent_dim, num_dim=20)
+    z0 = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+    trainer = th.HensmanTrainer(model, cfg, ds, blocks, z0, subjects_per_batch=4)
+    for _ in range(8):
+        m = trainer.run_epoch()
+    assert np.isfinite(m.net)
+    z_learned = np.asarray(trainer.state.trainables.z)
+    # continuous column (0 = time) moved; id column (2) has zero gradient
+    assert np.abs(z_learned[:, 0] - z0[:, 0]).max() > 1e-4
+    np.testing.assert_array_equal(z_learned[:, 2], z0[:, 2])
+    # tdata view synced for downstream prediction/serving consumers
+    np.testing.assert_array_equal(np.asarray(trainer.tdata.z), z_learned)
+
+
+def test_frozen_inducing_points_by_default():
+    ds = tiny_cohort(p=6, t=4)
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    cfg = make_cfg(True)
+    model = mv.SimpleVAE(latent_dim=cfg.latent_dim, num_dim=20)
+    z0 = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+    trainer = th.HensmanTrainer(model, cfg, ds, blocks, z0, subjects_per_batch=3)
+    trainer.run_epochs(3)
+    assert trainer.state.trainables.z is None
+    np.testing.assert_array_equal(np.asarray(trainer.tdata.z), z0)
