@@ -117,6 +117,7 @@ class LVAEConfig:
     checkpoint_every: int = 25
     learn_inducing: bool = False  # optimise inducing points (hensman only)
     profile: bool = False
+    auto_recover: bool = False  # restore last good checkpoint on non-finite state
     debug_nans: bool = False  # raise with diagnostics if state degrades
 
     def kernel_spec_kwargs(self) -> Dict[str, Any]:

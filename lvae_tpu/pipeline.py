@@ -214,6 +214,17 @@ class LVAEPipeline:
         """
         cfg = self.cfg
         self.metrics.log(epoch, metrics._asdict() if hasattr(metrics, "_asdict") else dict(metrics))
+        if cfg.auto_recover:
+            from lvae_tpu.train.state import tree_finite
+
+            out = cfg.results_path or cfg.save_path
+            last = os.path.join(out, "model_last.ckpt")
+            if bool(tree_finite(trainer.state.trainables)):
+                # rolling known-good snapshot (doubles as crash-resume point)
+                save_checkpoint(last, trainer.state, metadata={"epoch": epoch})
+            else:
+                self._recover(trainer, epoch, last)
+                return
         if cfg.debug_nans:
             from lvae_tpu.utils.debug import assert_state_finite
 
@@ -252,6 +263,35 @@ class LVAEPipeline:
                     trainer.tdata.z, cfg.id_covariate,
                     cfg.results_path or cfg.save_path, epoch=epoch, eps=cfg.eps,
                 )
+
+    def _recover(self, trainer, epoch, last_path: str) -> None:
+        """Failure recovery: non-finite training state → reload the rolling
+        known-good snapshot and perturb the RNG stream so the replayed
+        stretch takes a different sample path. Gives up after 3 attempts.
+
+        (The reference would silently continue with NaN losses; the
+        natural-gradient update already self-contains single-step blowups —
+        ops/elbo.py natural_gradient_update — this handles the rest.)
+        """
+        self.recoveries = getattr(self, "recoveries", 0) + 1
+        if self.recoveries > 3:
+            raise FloatingPointError(
+                f"state non-finite at epoch {epoch}; giving up after "
+                f"{self.recoveries - 1} recoveries"
+            )
+        state = try_load_checkpoint(last_path, like=trainer.state)
+        if state is None:
+            raise FloatingPointError(
+                f"state non-finite at epoch {epoch} and no recovery "
+                f"checkpoint at {last_path}"
+            )
+        state = state._replace(rng=jax.random.fold_in(state.rng, self.recoveries))
+        trainer.state = state
+        print(
+            f"Recovered from non-finite state at epoch {epoch} "
+            f"(attempt {self.recoveries}; resumed from {last_path})",
+            flush=True,
+        )
 
     def train(self):
         import math

@@ -355,3 +355,42 @@ def test_checkpoint_orbax_roundtrip(tmp_path):
     wait_for_async_saves()
     restored2 = load_checkpoint_orbax(apath, like)
     np.testing.assert_array_equal(np.asarray(restored2["w"]), np.asarray(state["w"]))
+
+
+def test_auto_recover_from_nan_state(tmp_path):
+    """Failure detection/recovery: poison the training state with NaNs; the
+    next callback restores the rolling known-good snapshot (with a perturbed
+    RNG stream) and training continues finite."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = make_cfg(
+        str(tmp_path), epochs=2, run_validation=False, generate_images=False,
+        run_tests=False, auto_recover=True, checkpoint_every=1, test_freq=1,
+    )
+    ds = healthmnist_like(p=6, t=5, seed=0)
+    pipeline = LVAEPipeline(cfg, {"train": ds})
+    trainer = pipeline.build_trainer()
+    pipeline.train()  # writes model_last.ckpt via the callback
+    assert os.path.exists(os.path.join(str(tmp_path), "model_last.ckpt"))
+
+    # poison the VAE params
+    tr = trainer.state.trainables
+    bad_vae = jax.tree.map(lambda a: a * jnp.nan, tr.vae)
+    trainer.state = trainer.state._replace(trainables=tr._replace(vae=bad_vae))
+
+    pipeline._epoch_callback(trainer, 1, trainer.history[-1])
+    from lvae_tpu.train.state import tree_finite
+
+    assert bool(tree_finite(trainer.state.trainables)), "state not recovered"
+    assert pipeline.recoveries == 1
+    m = trainer.run_epoch()
+    assert np.isfinite(m.net)
+
+    # a 4th consecutive failure raises
+    pipeline.recoveries = 3
+    trainer.state = trainer.state._replace(
+        trainables=trainer.state.trainables._replace(vae=bad_vae)
+    )
+    with pytest.raises(FloatingPointError, match="giving up"):
+        pipeline._epoch_callback(trainer, 2, trainer.history[-1])
