@@ -394,3 +394,23 @@ def test_auto_recover_from_nan_state(tmp_path):
     )
     with pytest.raises(FloatingPointError, match="giving up"):
         pipeline._epoch_callback(trainer, 2, trainer.history[-1])
+
+
+def test_standard_regime_with_validation(result_dir):
+    """standard_training + validation: the reference NameErrors here
+    (undefined standard_validate, training.py:596); the intended behaviour
+    — validation-driven best-model tracking in the standard regime — works."""
+    cfg = make_cfg(
+        result_dir, hensman=False, natural_gradient=False, epochs=2,
+        run_validation=True, generate_images=False, run_tests=False,
+        test_freq=1, checkpoint_every=1,
+    )
+    datasets = {
+        "train": healthmnist_like(seed=0),
+        "validation": healthmnist_like(p=4, seed=1),
+    }
+    pipeline = LVAEPipeline(cfg, datasets)
+    pipeline.build_trainer()
+    pipeline.train()
+    assert np.isfinite(pipeline.best["val"])
+    assert os.path.exists(os.path.join(result_dir, "model_best.ckpt"))

@@ -450,6 +450,52 @@ def main():
         Bspec_grad_H=gHB.detach().numpy(),
     )
 
+    # ----------------------- fuzz: random kernel structures through the
+    # reference bound (one KLD+grads golden per spec; structures cover every
+    # factor type and nesting the config grammar can express)
+    fuzz_specs = [
+        dict(cat_kernel=[2, 3], bin_kernel=[], sqexp_kernel=[0, 1],
+             cat_int_kernel=[], bin_int_kernel=[], covariate_missing_val=[]),
+        dict(cat_kernel=[2], bin_kernel=[3, 4], sqexp_kernel=[],
+             cat_int_kernel=[{"cont_covariate": 1, "cat_covariate": 2}],
+             bin_int_kernel=[], covariate_missing_val=[]),
+        dict(cat_kernel=[2, 5], bin_kernel=[4], sqexp_kernel=[0],
+             cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 5}],
+             bin_int_kernel=[{"cont_covariate": 1, "bin_covariate": 3}],
+             covariate_missing_val=[]),
+        dict(cat_kernel=[2], bin_kernel=[], sqexp_kernel=[0, 1],
+             cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2},
+                             {"cont_covariate": 1, "cat_covariate": 2}],
+             bin_int_kernel=[], covariate_missing_val=[]),
+    ]
+    n_fuzz = len(fuzz_specs)
+    out["fuzz_n"] = np.int64(n_fuzz)
+    for fi, fs in enumerate(fuzz_specs):
+        k0f, k1f = gm.generate_kernel_batched(
+            L, fs["cat_kernel"], fs["bin_kernel"], fs["sqexp_kernel"],
+            fs["cat_int_kernel"], fs["bin_int_kernel"],
+            fs["covariate_missing_val"], id_cov,
+        )
+        c0f, c1f = count_components(k0f), count_components(k1f)
+        sc0 = rng.uniform(0.4, 2.2, size=(L, c0f))
+        sc1 = rng.uniform(0.4, 2.2, size=(L, max(c1f, 1)))[:, :c1f]
+        l0 = rng.uniform(0.8, 3.5, size=(L, c0f))
+        l1 = rng.uniform(0.8, 3.5, size=(L, max(c1f, 1)))[:, :c1f]
+        _walk_set_params(k0f, sc0, l0)
+        if c1f:
+            _walk_set_params(k1f, sc1, l1)
+        kldf, gmf, gHf = ef.minibatch_KLD_upper_bound(
+            _Eval(k0f), _Eval(k1f), lik, L, tm, tH, tx, tmu, tlv, tz_b,
+            P, P, T, True, 1e-4,
+        )
+        out.update({
+            f"fz{fi}_scales0": sc0, f"fz{fi}_scales1": sc1,
+            f"fz{fi}_ls0": l0, f"fz{fi}_ls1": l1,
+            f"fz{fi}_kld": kldf.detach().numpy(),
+            f"fz{fi}_grad_m": gmf.detach().numpy(),
+            f"fz{fi}_grad_H": gHf.detach().numpy(),
+        })
+
     path = "tests/goldens/reference_goldens.npz"
     np.savez_compressed(path, **out)
     print(f"wrote {path}: {len(out)} arrays")
