@@ -84,3 +84,60 @@ def load_torch_vae_checkpoint(path: str, type_nnet: str, latent_dim: int) -> dic
     if type_nnet == "conv":
         return convvae_params_from_torch(state_dict, latent_dim)
     return simplevae_params_from_torch(state_dict)
+
+
+# ------------------------------------------------------------------ export
+# The inverse mappings: hand a trained lvae_tpu VAE back to a reference
+# user as a torch ``state_dict`` (.pth) loadable by VAE.py:44-273.
+
+
+def convvae_params_to_torch(params: dict) -> Dict[str, np.ndarray]:
+    """flax ConvVAE params pytree → reference ConvVAE state_dict arrays."""
+    p = params["params"]
+    sd: Dict[str, np.ndarray] = {}
+    for name in ("conv1", "conv2"):
+        k = np.asarray(p[name]["kernel"])  # [kH, kW, I, O]
+        sd[f"{name}.weight"] = k.transpose(3, 2, 0, 1).copy()
+        sd[f"{name}.bias"] = np.asarray(p[name]["bias"]).copy()
+    for name in ("deconv1", "deconv2"):
+        k = np.asarray(p[name]["kernel"])  # [kH, kW, I, O] (flipped)
+        sd[f"{name}.weight"] = k[::-1, ::-1].transpose(2, 3, 0, 1).copy()
+        sd[f"{name}.bias"] = np.asarray(p[name]["bias"]).copy()
+    for name in _LINEARS:
+        sd[f"{name}.weight"] = np.asarray(p[name]["kernel"]).T.copy()
+        sd[f"{name}.bias"] = np.asarray(p[name]["bias"]).copy()
+    # undo the NHWC flatten-order permutations (see import above)
+    w = sd["fc1.weight"]  # [300, 2592] currently in H-W-C input order
+    w = w.reshape(-1, 9, 9, 32).transpose(0, 3, 1, 2).reshape(w.shape[0], 2592)
+    sd["fc1.weight"] = w.copy()
+    w = sd["fc4.weight"]  # [2592, in] rows in H-W-C order
+    w = w.reshape(9, 9, 32, -1).transpose(2, 0, 1, 3).reshape(2592, -1)
+    sd["fc4.weight"] = w.copy()
+    b = sd["fc4.bias"].reshape(9, 9, 32).transpose(2, 0, 1).reshape(-1)
+    sd["fc4.bias"] = b.copy()
+    sd["_log_vy"] = np.asarray(p["raw_log_vy"]).copy()
+    return sd
+
+
+def simplevae_params_to_torch(params: dict) -> Dict[str, np.ndarray]:
+    p = params["params"]
+    sd: Dict[str, np.ndarray] = {}
+    for name in _LINEARS:
+        sd[f"{name}.weight"] = np.asarray(p[name]["kernel"]).T.copy()
+        sd[f"{name}.bias"] = np.asarray(p[name]["bias"]).copy()
+    sd["_log_vy"] = np.asarray(p["raw_log_vy"]).copy()
+    return sd
+
+
+def save_torch_vae_checkpoint(path: str, params: dict, type_nnet: str) -> str:
+    """Write a reference-loadable ``.pth`` VAE checkpoint."""
+    import torch
+
+    arrays = (
+        convvae_params_to_torch(params)
+        if type_nnet == "conv"
+        else simplevae_params_to_torch(params)
+    )
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in arrays.items()}
+    torch.save(sd, path)
+    return path

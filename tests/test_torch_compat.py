@@ -126,3 +126,39 @@ def test_simplevae_torch_import_parity():
     )
     np.testing.assert_allclose(np.asarray(fmu), tmu.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(flv), tlv.numpy(), atol=1e-5)
+
+
+def test_torch_export_roundtrip(tmp_path):
+    """flax → .pth → flax is the identity (export inverts the import maps),
+    for both architectures."""
+    import jax
+    import jax.numpy as jnp
+
+    from lvae_tpu.models.vae import ConvVAE, SimpleVAE
+    from lvae_tpu.utils.torch_compat import (
+        load_torch_vae_checkpoint,
+        save_torch_vae_checkpoint,
+    )
+
+    conv = ConvVAE(latent_dim=5, num_dim=36 * 36, p=0.0)
+    params = conv.init(
+        jax.random.key(0), jnp.zeros((2, 36, 36, 1)), deterministic=True
+    )
+    path = str(tmp_path / "conv.pth")
+    save_torch_vae_checkpoint(path, params, "conv")
+    back = load_torch_vae_checkpoint(path, "conv", 5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(back),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+
+    simple = SimpleVAE(latent_dim=4, num_dim=20)
+    params_s = simple.init(
+        jax.random.key(1), jnp.zeros((2, 20)), deterministic=True
+    )
+    path_s = str(tmp_path / "simple.pth")
+    save_torch_vae_checkpoint(path_s, params_s, "simple")
+    back_s = load_torch_vae_checkpoint(path_s, "simple", 4)
+    for a, b in zip(jax.tree.leaves(params_s), jax.tree.leaves(back_s)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
