@@ -107,13 +107,30 @@ def init_variational(
     return jnp.asarray(m, dtype), jnp.asarray(h, dtype)
 
 
-def make_optimizer(learning_rate: float = 1e-3) -> optax.GradientTransformation:
+def make_optimizer(
+    learning_rate: float = 1e-3, kind: str | None = None
+) -> optax.GradientTransformation:
     """Adam over all trainables (LVAE.py:292). ``None`` leaves pass through.
 
-    ``optax.flatten`` fuses the update into one vector op — the per-tensor
-    Adam over ~30 small parameter arrays costs more in kernel launches than
-    in arithmetic on TPU (measured: 685 → 430 µs/step at the bench config).
+    ``kind`` selects the implementation (default: ``$LVAE_OPT`` or
+    ``'adam'``): ``adam`` = plain per-leaf optax.adam (fastest in the r2
+    A/B: 184 µs/step isolated, 19.1 vs 19.9 ms real epoch); ``flatten`` =
+    ``optax.flatten(optax.adam)`` (one flat vector op — was the r1 winner
+    at 685 → 430 µs/step, no longer); ``fused`` = the one-pass Pallas flat
+    kernel (kernels_pallas/adam.py — no win isolated, and the axon-TPU
+    runtime rejects it inside the donated nested-scan epoch program).
+    All three are the same math; A/B numbers live in benchmarks/README.md.
     """
+    import os
+
+    kind = kind or os.environ.get("LVAE_OPT", "adam")
+    if kind == "adam":
+        return optax.adam(learning_rate)
+    if kind == "fused":
+        from lvae_tpu.kernels_pallas.adam import fused_adam
+
+        return fused_adam(learning_rate)
+    assert kind == "flatten", f"unknown optimizer kind {kind!r}"
     return optax.flatten(optax.adam(learning_rate))
 
 
