@@ -53,6 +53,11 @@ def main(argv=None):
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--dump_state", type=str, default=None,
                    help="pickle trained state + eval arrays for offline analysis")
+    p.add_argument("--min_gp_recon_ratio", type=float, default=1.1,
+                   help="hard-assert GP-pred MSE > ratio * recon MSE "
+                        "(discrimination check; calibrated at latent_dim=32 — "
+                        "lower dims compress the gap because recon itself "
+                        "degrades, use 1.0 for dim sweeps)")
     a = p.parse_args(argv)
 
     import jax
@@ -242,7 +247,7 @@ def main(argv=None):
         f"latent-space ablation ratio {lat_ratio:.2f}",
         flush=True,
     )
-    assert result.gp_mse > 1.1 * result.vae_mse, (
+    assert result.gp_mse > a.min_gp_recon_ratio * result.vae_mse, (
         "benchmark not discriminative: GP future prediction is no harder "
         f"than reconstruction ({result.gp_mse:.5f} vs {result.vae_mse:.5f})"
     )

@@ -135,9 +135,21 @@ class LVAEPredictor(NamedTuple):
         )
         return self.decode(z_pred)
 
-    def aot_compile(self, batch_size: int = 256) -> "CompiledServing":
-        """AOT-compile the hot serving paths at a fixed batch size."""
-        return CompiledServing(self, batch_size)
+    def aot_compile(
+        self,
+        batch_size: int = 256,
+        t_obs: Optional[int] = None,
+        n_query: Optional[int] = None,
+    ) -> "CompiledServing":
+        """AOT-compile the hot serving paths at a fixed batch size.
+
+        With ``t_obs``/``n_query`` set, also compiles the single-subject
+        trajectory path: the cohort's GP operators are folded once
+        (ops/predict.py precompute_predict_basis) and each request runs one
+        fixed-shape executable — encode(t_obs frames) → low-rank GP
+        extension → decode(n_query frames).
+        """
+        return CompiledServing(self, batch_size, t_obs=t_obs, n_query=n_query)
 
 
 class CompiledServing:
@@ -151,7 +163,13 @@ class CompiledServing:
     (static shapes: one executable per bundle, never a recompile).
     """
 
-    def __init__(self, predictor: "LVAEPredictor", batch_size: int):
+    def __init__(
+        self,
+        predictor: "LVAEPredictor",
+        batch_size: int,
+        t_obs: Optional[int] = None,
+        n_query: Optional[int] = None,
+    ):
         self.batch_size = int(batch_size)
         self.predictor = predictor
         model = predictor.model
@@ -179,6 +197,85 @@ class CompiledServing:
         self._decode = jax.jit(_decode).lower(params, z_aval).compile()
         self._recon = jax.jit(_recon).lower(params, x_aval).compile()
         self._in_shape = in_shape
+
+        self.t_obs, self.n_query = t_obs, n_query
+        if t_obs is not None and n_query is not None:
+            self._compile_trajectory(t_obs, n_query)
+
+    def _compile_trajectory(self, t_obs: int, n_query: int) -> None:
+        """One executable per request: encode → GP low-rank extend → decode.
+
+        The cohort-level block solves (O(P) subjects) happen HERE, once;
+        request cost is independent of the basis cohort size.
+        """
+        from lvae_tpu.data.blocks import build_subject_blocks
+        from lvae_tpu.ops.predict import (
+            gp_predict_extend,
+            precompute_predict_basis,
+        )
+
+        pr = self.predictor
+        blocks = build_subject_blocks(pr.basis_labels, pr.id_covariate)
+        xb = np.asarray(pr.basis_labels, np.float32)[blocks.index]
+        xb = xb * blocks.mask[..., None]
+        mu_b = np.asarray(pr.basis_mu, np.float32)[blocks.index]
+        mu_b = mu_b * blocks.mask[..., None]
+        self._basis = jax.jit(
+            lambda kp0, kp1, nz, xb_, mk_, mu_, z_: precompute_predict_basis(
+                pr.spec0, pr.spec1, kp0, kp1, nz, xb_, mk_, mu_, z_, pr.eps
+            )
+        )(
+            pr.gp_params.kp0, pr.gp_params.kp1, pr.noise,
+            jnp.asarray(xb), jnp.asarray(blocks.mask, jnp.float32),
+            jnp.asarray(mu_b), jnp.asarray(pr.z, jnp.float32),
+        )
+        jax.block_until_ready(self._basis)
+
+        model, params = pr.model, pr.vae_params
+        q = pr.basis_labels.shape[1]
+
+        def _traj(p, basis, kp0, kp1, nz, z_, obs_x, obs_lab, query_lab):
+            mu_obs, _ = model.apply(p, obs_x, deterministic=True, method="encode")
+            ones_t = jnp.ones((t_obs,), jnp.float32)
+            ones_q = jnp.ones((n_query,), jnp.float32)
+            z_pred = gp_predict_extend(
+                pr.spec0, pr.spec1, kp0, kp1, nz, basis,
+                obs_lab, ones_t, mu_obs, query_lab, ones_q, z_,
+            )
+            return model.apply(p, z_pred, deterministic=True, method="decode")
+
+        obs_aval = jax.ShapeDtypeStruct(
+            (t_obs,) + self._in_shape[1:], jnp.float32
+        )
+        self._traj = (
+            jax.jit(_traj)
+            .lower(
+                params, self._basis, pr.gp_params.kp0, pr.gp_params.kp1,
+                pr.noise, jax.ShapeDtypeStruct(pr.z.shape, jnp.float32),
+                obs_aval, jax.ShapeDtypeStruct((t_obs, q), jnp.float32),
+                jax.ShapeDtypeStruct((n_query, q), jnp.float32),
+            )
+            .compile()
+        )
+
+    def predict_trajectory(self, observed_data, observed_labels, query_labels):
+        """Fixed-shape single-subject trajectory prediction (see
+        :func:`~lvae_tpu.ops.predict.gp_predict_extend` for scope)."""
+        assert self.t_obs is not None, (
+            "bundle compiled without trajectory support: pass t_obs/n_query "
+            "to aot_compile"
+        )
+        pr = self.predictor
+        obs = np.asarray(observed_data, np.float32).reshape(
+            (self.t_obs,) + self._in_shape[1:]
+        )
+        out = self._traj(
+            pr.vae_params, self._basis, pr.gp_params.kp0, pr.gp_params.kp1,
+            pr.noise, jnp.asarray(pr.z, jnp.float32), jnp.asarray(obs),
+            jnp.asarray(observed_labels, jnp.float32),
+            jnp.asarray(query_labels, jnp.float32),
+        )
+        return np.asarray(out)
 
     def _chunked(self, fn, x: np.ndarray) -> np.ndarray:
         n, b = x.shape[0], self.batch_size

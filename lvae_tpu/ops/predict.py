@@ -202,3 +202,144 @@ def predict_latents(
     )
     zb = gp_predict(spec0, spec1, kp0, kp1, noise, inputs, z, eps)
     return scatter_to_flat(np.asarray(zb), te_index, te_mask, test_labels.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# Incremental serving path: precomputed basis operators + per-request
+# low-rank extension. Same math as gp_predict — the shared term reduces to
+#
+#     shared = K0(X,z) H⁻¹ c,   H = K0zz + Σ_s K0zx_s B_s⁻¹ K0xz_s,
+#     c = Σ_s K0zx_s B_s⁻¹ μ_s
+#
+# (substituting μ̃ = B⁻¹μ − B⁻¹K0xz H⁻¹c into d = Σ K0zx μ̃ gives
+# d = K0zz H⁻¹ c, and the full path's K0zz⁻¹ d round-trip cancels exactly).
+# A request that adds ONE observed subject therefore only contributes a
+# rank-M update U = K0zx,new B_new⁻¹ K0xz,new to H and c_new to c — the
+# O(P) per-subject block solves over the training cohort are done once at
+# bundle-build time, not per request (the reference recomputes everything,
+# utils.py:115-211).
+
+
+class PredictBasis(NamedTuple):
+    """Cohort-level operators, precomputed once for serving.
+
+    ``h_nojit`` excludes the f32 adaptive jitter on H (it must be applied
+    AFTER the request's low-rank update so the incremental path is
+    bit-identical in structure to the full recompute).
+    """
+
+    h_nojit: jax.Array  # [L, M, M] K0zz(+jitter) + Σ_s K0zx_s B_s⁻¹ K0xz_s
+    c: jax.Array  # [L, M]    Σ_s K0zx_s B_s⁻¹ μ_s
+
+
+@_full_precision
+def precompute_predict_basis(
+    spec0: kx.KernelSpec,
+    spec1: kx.KernelSpec,
+    kp0: kx.KernelParams,
+    kp1: kx.KernelParams,
+    noise: jax.Array,
+    xb: jax.Array,
+    mask: jax.Array,
+    mu_b: jax.Array,
+    z: jax.Array,
+    eps: float = 1e-6,
+) -> PredictBasis:
+    """Fold the training cohort's block solves into (H, c) once."""
+    p, t, q = xb.shape
+    m_ind = z.shape[0]
+    dtype = xb.dtype
+    mask = mask.astype(dtype)
+
+    x_flat = xb.reshape(p * t, q)
+    k0xz = kx.kernel_matrix(spec0, kp0, x_flat, z, mask1=mask.reshape(p * t))
+    latent_dim = k0xz.shape[0]
+    k0xz = k0xz.reshape(latent_dim, p, t, m_ind)
+    k0zz = kx.kernel_matrix(spec0, kp0, z, z)
+    if dtype == jnp.float32:
+        diag_mean = jnp.mean(jnp.diagonal(k0zz, axis1=-2, axis2=-1))
+        eps_eff = jnp.maximum(jnp.asarray(eps, dtype), 3e-4 * diag_mean)
+    else:
+        eps_eff = jnp.asarray(eps, dtype)
+    k0zz = k0zz + eps_eff * jnp.eye(m_ind, dtype=dtype)
+
+    k1_st = kx.block_kernel_matrix(spec1, kp1, xb, mask)
+    diag = mask[None] * noise[:, None, None] + (1.0 - mask)[None]
+    b = k1_st + diag[..., None] * jnp.eye(t, dtype=dtype)
+    _, ib = la.cholesky_and_inverse(b)
+
+    ib_k0xz = ib @ k0xz
+    h_nojit = la.symmetrize(
+        k0zz + jnp.einsum("lptm,lptn->lmn", k0xz, ib_k0xz)
+    )
+    mu = (mu_b * mask[..., None]).transpose(2, 0, 1)  # [L, P, T]
+    ib_mu = jnp.einsum("lptu,lpu->lpt", ib, mu)
+    c = jnp.einsum("lptm,lpt->lm", k0xz, ib_mu)
+    return PredictBasis(h_nojit=h_nojit, c=c)
+
+
+@_full_precision
+def gp_predict_extend(
+    spec0: kx.KernelSpec,
+    spec1: kx.KernelSpec,
+    kp0: kx.KernelParams,
+    kp1: kx.KernelParams,
+    noise: jax.Array,
+    basis: PredictBasis,
+    x_new: jax.Array,
+    mask_new: jax.Array,
+    mu_new: jax.Array,
+    Xq: jax.Array,
+    Xq_mask: jax.Array,
+    z: jax.Array,
+) -> jax.Array:
+    """Posterior latents at ``Xq [Tq, Q]`` after observing ONE new subject.
+
+    ``x_new [T, Q]`` / ``mask_new [T]`` / ``mu_new [T, L]`` — the new
+    subject's observed covariates and encoded latent means. Queries must
+    belong to that subject (its id kernel carries the K1 term) or to a
+    subject with no data at all (K1 vanishes → shared term only, matching
+    the full path). Queries for a subject already in the BASIS cohort are
+    out of scope here — use :func:`gp_predict`, which aligns them to their
+    training block.
+
+    Fixed shapes (T, Tq static) → AOT-compilable; per-request cost is one
+    [L,T,T] and one [L,M,M] Cholesky instead of the full cohort's.
+    """
+    t, q = x_new.shape
+    tq, _ = Xq.shape
+    m_ind = z.shape[0]
+    dtype = x_new.dtype
+    mask_new = mask_new.astype(dtype)
+    Xq_mask = Xq_mask.astype(dtype)
+
+    k0xz_n = kx.kernel_matrix(spec0, kp0, x_new, z, mask1=mask_new)  # [L,T,M]
+    k0Xz = kx.kernel_matrix(spec0, kp0, Xq, z, mask1=Xq_mask)  # [L,Tq,M]
+
+    k1_n = kx.kernel_matrix(spec1, kp1, x_new, x_new, mask_new, mask_new)
+    diag_vals = mask_new[None, :] * noise[:, None] + (1.0 - mask_new)[None, :]
+    b_n = k1_n + diag_vals[:, :, None] * jnp.eye(t, dtype=dtype)[None]
+    _, ib_n = la.cholesky_and_inverse(b_n)  # [L, T, T]
+
+    ib_k0xz = ib_n @ k0xz_n  # [L, T, M]
+    h = basis.h_nojit + jnp.einsum("ltm,ltn->lmn", k0xz_n, ib_k0xz)
+    h = la.symmetrize(h)
+    if dtype == jnp.float32:
+        h_diag = jnp.mean(jnp.diagonal(h, axis1=-2, axis2=-1))
+        h = h + (3e-4 * h_diag) * jnp.eye(m_ind, dtype=dtype)
+    lh = la.cholesky(h)
+
+    mu = (mu_new * mask_new[:, None]).T  # [L, T]
+    ib_mu = jnp.einsum("ltu,lu->lt", ib_n, mu)
+    c = basis.c + jnp.einsum("ltm,lt->lm", k0xz_n, ib_mu)
+
+    sol = la.cho_solve(lh, c[..., None])[..., 0]  # H⁻¹ c  [L, M]
+    shared = jnp.einsum("lam,lm->la", k0Xz, sol)  # [L, Tq]
+
+    # the new subject's μ̃ block and its K1 cross-term to the queries
+    back = jnp.einsum("ltm,lm->lt", k0xz_n, sol)
+    mu_tilde_n = ib_mu - jnp.einsum("ltu,lu->lt", ib_n, back)  # [L, T]
+    k1_cross = kx.kernel_matrix(spec1, kp1, Xq, x_new, Xq_mask, mask_new)
+    id_term = jnp.einsum("lat,lt->la", k1_cross, mu_tilde_n)
+
+    return (shared + id_term).T  # [Tq, L]

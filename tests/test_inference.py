@@ -83,3 +83,36 @@ def test_aot_compiled_serving_matches_jit_path(tmp_path):
     dec_aot = bundle.decode(mu_aot[:5])
     dec_jit = pred.decode(mu_jit[:5])
     np.testing.assert_allclose(dec_aot, dec_jit, rtol=1e-6, atol=1e-6)
+
+
+def test_aot_trajectory_matches_full_recompute(tmp_path):
+    """The low-rank serving path (precomputed basis + one-subject extension,
+    ops/predict.py gp_predict_extend) equals the full-cohort recompute
+    (gp_predict via LVAEPredictor.predict_trajectory) — the algebra
+    shared = K0Xz H'inv c' is the same posterior mean, regrouped."""
+    cfg = make_cfg(str(tmp_path), epochs=2, run_validation=False,
+                   generate_images=False, run_tests=False)
+    ds = healthmnist_like(p=6, t=5, seed=0)
+    pipeline = LVAEPipeline(cfg, {"train": ds})
+    pipeline.build_trainer()
+    pipeline.train()
+    pred = LVAEPredictor.from_pipeline(pipeline)
+
+    new = healthmnist_like(p=1, t=5, seed=9)
+    new.labels[:, 2] = 777.0  # unseen id
+    obs_x, obs_lab = new.data[:3], new.labels[:3]
+    query_lab = new.labels[3:]
+
+    full = pred.predict_trajectory(obs_x, obs_lab, query_lab)
+    bundle = pred.aot_compile(batch_size=8, t_obs=3, n_query=2)
+    fast = bundle.predict_trajectory(obs_x, obs_lab, query_lab)
+    assert fast.shape == full.shape
+    np.testing.assert_allclose(fast, full, rtol=5e-4, atol=5e-4)
+
+    # queries for a subject with no data anywhere: shared term only, and the
+    # two paths still agree
+    far = healthmnist_like(p=1, t=5, seed=11)
+    far.labels[:, 2] = 888.0
+    full2 = pred.predict_trajectory(obs_x, obs_lab, far.labels[3:])
+    fast2 = bundle.predict_trajectory(obs_x, obs_lab, far.labels[3:])
+    np.testing.assert_allclose(fast2, full2, rtol=5e-4, atol=5e-4)
