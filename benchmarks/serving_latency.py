@@ -138,13 +138,11 @@ def main(argv=None):
     impute_ms = timed(lambda: bundle.impute(frames, pixmask))
 
     # a new subject's request: t_obs observed frames → n_query future frames
-    rng = np.random.default_rng(1)
     obs_x = data[: a.t_obs]
     obs_lab = labels[: a.t_obs].astype(np.float32).copy()
     obs_lab[:, 2] = 1e6  # unseen id
     query_lab = np.tile(obs_lab[:1], (a.n_query, 1))
     query_lab[:, 0] = np.arange(10, 10 + a.n_query)
-    del rng
 
     traj_aot_ms = timed(
         lambda: bundle.predict_trajectory(obs_x, obs_lab, query_lab)

@@ -90,3 +90,74 @@ def test_predict_unseen_subject_uses_only_shared_term():
     k1Xx = np.asarray(kx.kernel_matrix(spec1, kp1, qx, tx))
     assert np.abs(k1Xx).max() == 0.0  # id kernel vanishes for unseen subject
     assert np.all(np.isfinite(got))
+
+
+def test_extend_path_equals_full_recompute_f64():
+    """Serving split (precompute_predict_basis + gp_predict_extend) is the
+    same posterior mean as the full recompute, regrouped: in f64, with the
+    plain-eps jitter, the two paths must agree to near machine precision
+    across kernel specs (incl. bin + missing-mask components)."""
+    from lvae_tpu.data.blocks import build_subject_blocks
+    from lvae_tpu.ops.predict import (
+        gp_predict_extend,
+        precompute_predict_basis,
+        predict_latents,
+    )
+
+    specs = [
+        dict(cat_kernel=[2], sqexp_kernel=[0],
+             cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}]),
+        dict(cat_kernel=[2], bin_kernel=[1], sqexp_kernel=[0],
+             bin_int_kernel=[{"cont_covariate": 0, "bin_covariate": 2}]),
+        dict(cat_kernel=[2], sqexp_kernel=[0],
+             covariate_missing_val=[{"covariate": 1, "mask": 3}]),
+    ]
+    for si, kw in enumerate(specs):
+        rng = np.random.default_rng(40 + si)
+        basis_x = build_cohort(rng, [0, 1, 2, 3], (2, 5))
+        L, M = 3, 5
+        spec0, spec1 = kx.split_kernel_spec(id_covariate=2, **kw)
+        kp0 = kx.init_kernel_params(spec0, latent_dim=L, dtype=jnp.float64)
+        kp1 = kx.init_kernel_params(spec1, latent_dim=L, dtype=jnp.float64)
+        kp0 = kp0._replace(
+            raw_scale=kp0.raw_scale + 0.2 * rng.normal(size=kp0.raw_scale.shape))
+        kp1 = kp1._replace(
+            raw_scale=kp1.raw_scale + 0.2 * rng.normal(size=kp1.raw_scale.shape))
+        noise = jnp.asarray(0.6 + rng.uniform(0, 0.4, size=L))
+        n = basis_x.shape[0]
+        z = jnp.asarray(
+            basis_x[rng.choice(n, M, replace=False)]
+            + 0.01 * rng.normal(size=(M, 4))
+        )
+        basis_mu = rng.normal(size=(n, L))
+
+        t_obs, n_q = 4, 3
+        obs_x = build_cohort(rng, [99], (t_obs, t_obs + 1))[:t_obs]
+        obs_mu = rng.normal(size=(t_obs, L))
+        query_x = build_cohort(rng, [99], (n_q, n_q + 1))[:n_q]
+        query_x[:, 0] += 10.0  # future times
+
+        # full path: observations concatenated into the regression basis
+        # (LVAEPredictor.predict_latent_trajectory's construction)
+        full = predict_latents(
+            spec0, spec1, kp0, kp1, noise,
+            np.concatenate([obs_x, basis_x]),
+            np.concatenate([obs_mu, basis_mu]),
+            query_x, z, id_covariate=2, eps=EPS,
+        )
+
+        blocks = build_subject_blocks(basis_x, 2)
+        xb = jnp.asarray(basis_x[blocks.index] * blocks.mask[..., None])
+        mu_b = jnp.asarray(basis_mu[blocks.index] * blocks.mask[..., None])
+        basis = precompute_predict_basis(
+            spec0, spec1, kp0, kp1, noise, xb,
+            jnp.asarray(blocks.mask, jnp.float64), mu_b, z, eps=EPS,
+        )
+        ones_t = jnp.ones((t_obs,), jnp.float64)
+        ones_q = jnp.ones((n_q,), jnp.float64)
+        fast = gp_predict_extend(
+            spec0, spec1, kp0, kp1, noise, basis,
+            jnp.asarray(obs_x), ones_t, jnp.asarray(obs_mu),
+            jnp.asarray(query_x), ones_q, z,
+        )
+        np.testing.assert_allclose(np.asarray(fast), full, rtol=1e-9, atol=1e-9)
