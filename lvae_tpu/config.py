@@ -115,6 +115,9 @@ class LVAEConfig:
     data_mesh: int = 1  # devices on the 'data' (subject) mesh axis
     latent_mesh: int = 1  # devices on the 'latent' mesh axis
     checkpoint_every: int = 25
+    # pickle (zero-dependency single file) | orbax (atomic directory commit)
+    # | orbax_async (training continues while the host writes)
+    checkpoint_backend: str = "pickle"
     learn_inducing: bool = False  # optimise inducing points (hensman only)
     profile: bool = False
     auto_recover: bool = False  # restore last good checkpoint on non-finite state
@@ -141,6 +144,7 @@ class LVAEConfig:
             "varying_T can't be used without hensman (LVAE.py:42)"
         )
         assert self.type_KL in ("closed", "GPapprox", "GPapprox_closed", "other")
+        assert self.checkpoint_backend in ("pickle", "orbax", "orbax_async")
         # Flags the reference parses but never reads anywhere
         # (parse_model_args.py:71-72, grep-verified): accept them for
         # flag-file compatibility, but tell the user instead of silently

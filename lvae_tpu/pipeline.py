@@ -113,7 +113,12 @@ class LVAEPipeline:
                 except Exception as e:  # noqa: BLE001
                     print(f"torch checkpoint conversion failed: {e}")
             else:
-                ckpt = try_load_checkpoint(path)
+                like_vae = (
+                    trainer.state.trainables.vae
+                    if hasattr(getattr(trainer, "state", None), "trainables")
+                    else None
+                )
+                ckpt = self._load_ckpt(path, like=like_vae)
         if ckpt is None:
             print("Did not load pre-trained values.")
             return
@@ -181,6 +186,33 @@ class LVAEPipeline:
         self._try_resume(self.trainer)
         return self.trainer
 
+    # ------------------------------------------------- checkpoint backend
+    def _save_ckpt(self, path: str, state, metadata=None) -> None:
+        """Write through the configured backend (SURVEY §5 checkpoint/resume;
+        the orbax backends add atomic directory commits and async save)."""
+        if self.cfg.checkpoint_backend.startswith("orbax"):
+            from lvae_tpu.utils.checkpoint import save_checkpoint_orbax
+
+            save_checkpoint_orbax(
+                path, state,
+                async_save=self.cfg.checkpoint_backend == "orbax_async",
+            )
+        else:
+            save_checkpoint(path, state, metadata=metadata)
+
+    def _load_ckpt(self, path: str, like):
+        """Load either backend's artifact — orbax snapshots are directories,
+        pickle snapshots files — so runs can resume across backends."""
+        if os.path.isdir(path):
+            from lvae_tpu.utils.checkpoint import load_checkpoint_orbax
+
+            try:
+                return load_checkpoint_orbax(path, like)
+            except Exception as e:  # noqa: BLE001 — corrupt → fresh start
+                print(f"Checkpoint load failed ({path}): {e}")
+                return None
+        return try_load_checkpoint(path, like)
+
     def _try_resume(self, trainer) -> None:
         """LVAE.py:214-234 semantics: resume GP/variational/VAE state from a
         prior run's folder when one exists (full-state checkpoint here)."""
@@ -190,7 +222,7 @@ class LVAEPipeline:
         for name in ("model_final.ckpt", "model_best.ckpt"):
             path = os.path.join(folder, name)
             state = (
-                try_load_checkpoint(path, like=trainer.state)
+                self._load_ckpt(path, like=trainer.state)
                 if os.path.exists(path)
                 else None
             )
@@ -221,7 +253,7 @@ class LVAEPipeline:
             last = os.path.join(out, "model_last.ckpt")
             if bool(tree_finite(trainer.state.trainables)):
                 # rolling known-good snapshot (doubles as crash-resume point)
-                save_checkpoint(last, trainer.state, metadata={"epoch": epoch})
+                self._save_ckpt(last, trainer.state, metadata={"epoch": epoch})
             else:
                 self._recover(trainer, epoch, last)
                 return
@@ -246,7 +278,7 @@ class LVAEPipeline:
             self.best = {"val": res.net, "epoch": epoch}
             print("Saving better model")
             out = cfg.results_path or cfg.save_path
-            save_checkpoint(
+            self._save_ckpt(
                 os.path.join(out, "model_best.ckpt"), trainer.state,
                 metadata={"epoch": epoch, "val": res.net},
             )
@@ -279,7 +311,10 @@ class LVAEPipeline:
                 f"state non-finite at epoch {epoch}; giving up after "
                 f"{self.recoveries - 1} recoveries"
             )
-        state = try_load_checkpoint(last_path, like=trainer.state)
+        from lvae_tpu.utils.checkpoint import wait_for_async_saves
+
+        wait_for_async_saves()  # the rolling snapshot may still be in flight
+        state = self._load_ckpt(last_path, like=trainer.state)
         if state is None:
             raise FloatingPointError(
                 f"state non-finite at epoch {epoch} and no recovery "
@@ -369,7 +404,11 @@ class LVAEPipeline:
         hist = self.trainer.history
         with open(os.path.join(out, "diagnostics.pkl"), "wb") as f:
             pickle.dump(hist, f)
-        save_checkpoint(os.path.join(out, "model_final.ckpt"), self.trainer.state)
+        self._save_ckpt(os.path.join(out, "model_final.ckpt"), self.trainer.state)
+        if self.cfg.checkpoint_backend == "orbax_async":
+            from lvae_tpu.utils.checkpoint import wait_for_async_saves
+
+            wait_for_async_saves()
         self.metrics.flush()
 
     def run(self):

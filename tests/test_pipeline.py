@@ -414,3 +414,31 @@ def test_standard_regime_with_validation(result_dir):
     pipeline.train()
     assert np.isfinite(pipeline.best["val"])
     assert os.path.exists(os.path.join(result_dir, "model_best.ckpt"))
+
+
+def test_pipeline_orbax_backend_roundtrip(tmp_path):
+    """--checkpoint_backend=orbax_async: final snapshot is an orbax
+    directory, async writes are fenced, and a second pipeline resumes from
+    it (cross-backend _load_ckpt detects the directory layout)."""
+    import jax
+
+    out = str(tmp_path / "run1")
+    cfg = make_cfg(out, epochs=2, run_validation=False, generate_images=False,
+                   run_tests=False, checkpoint_backend="orbax_async")
+    ds = healthmnist_like(p=6, t=5, seed=0)
+    pipeline = LVAEPipeline(cfg, {"train": ds})
+    pipeline.build_trainer()
+    pipeline.train()
+    pipeline.save_artifacts()
+    final = os.path.join(out, "model_final.ckpt")
+    assert os.path.isdir(final)  # orbax layout, not a pickle file
+
+    out2 = str(tmp_path / "run2")
+    cfg2 = make_cfg(out2, epochs=1, run_validation=False,
+                    generate_images=False, run_tests=False,
+                    gp_model_folder=out)
+    pipeline2 = LVAEPipeline(cfg2, {"train": ds})
+    trainer2 = pipeline2.build_trainer()  # _try_resume loads the orbax dir
+    a = jax.tree.leaves(pipeline.trainer.state.trainables)[0]
+    b = jax.tree.leaves(trainer2.state.trainables)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
