@@ -33,78 +33,8 @@ def main_lvae(argv) -> int:
     print(f"Running on device: {jax.devices()[0]}")
     from lvae_tpu.pipeline import LVAEPipeline
 
-    if cfg.variational_inference_training:
-        return _run_vi(cfg)
     pipeline = LVAEPipeline(cfg)
-    pipeline.run()
-    return 0
-
-
-def _run_vi(cfg) -> int:
-    import jax.numpy as jnp
-    import numpy as np
-
-    from lvae_tpu.data.blocks import build_subject_blocks
-    from lvae_tpu.data.datasets import load_dataset
-    from lvae_tpu.models.vae import make_vae
-    from lvae_tpu.ops import kernels as kx
-    from lvae_tpu.train import state as st
-    from lvae_tpu.train.vi import VIConfig, VITrainer
-    from lvae_tpu.utils.checkpoint import try_load_checkpoint
-
-    dataset = load_dataset(cfg, "train")
-    prediction = load_dataset(cfg, "prediction")
-    model = make_vae(cfg.type_nnet, cfg.latent_dim, cfg.num_dim or dataset.num_dim)
-    blocks = build_subject_blocks(dataset.labels, cfg.id_covariate)
-    spec0, spec1 = kx.split_kernel_spec(
-        id_covariate=cfg.id_covariate, **cfg.kernel_spec_kwargs()
-    )
-    vae_params = try_load_checkpoint(cfg.model_params)
-    if vae_params is None:
-        import jax
-
-        vae_params = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
-            jax.random.key(cfg.seed), jnp.asarray(dataset.data[:2])
-        )
-    gp_params = st.init_gp_params(
-        spec0, spec1, cfg.latent_dim, constrain_scales=cfg.constrain_scales
-    )
-    z = st.init_inducing_points(dataset.labels, cfg.M, seed=cfg.seed)
-    vicfg = VIConfig(
-        spec0=spec0, spec1=spec1, latent_dim=cfg.latent_dim, weight=cfg.weight,
-        loss_function=cfg.loss_function, constrain_scales=cfg.constrain_scales,
-        eps=cfg.eps,
-    )
-    trainer = VITrainer(
-        model, vicfg, dataset, blocks, z, vae_params, gp_params,
-        learning_rate=cfg.learning_rate, seed=cfg.seed,
-    )
-    trainer.fit(cfg.epochs, log_every=1)
-    if prediction is not None:
-        mu_pred, _ = trainer.optimize_prediction_set(prediction, epochs=1000)
-        generation = load_dataset(cfg, "generation") if cfg.generate_images else None
-        if generation is not None:
-            # variational_complete_gen (predict_HealthMNIST.py:145-172):
-            # decode GP-predicted latents from the jointly-optimised cohort
-            from lvae_tpu.evaluation.generation import recon_complete_gen
-
-            prediction_x = np.concatenate(
-                [np.asarray(prediction.labels), trainer.labels[trainer.order]], 0
-            )
-            prediction_mu = np.concatenate(
-                [mu_pred, np.asarray(trainer.state.mu)], 0
-            )
-            noise = (
-                jnp.ones((cfg.latent_dim,))
-                if cfg.constrain_scales
-                else kx.constrain(trainer.state.gp.raw_noise)
-            )
-            recon_complete_gen(
-                generation, model, trainer.state.vae, trainer.state.gp,
-                noise, spec0, spec1, prediction_x, prediction_mu,
-                z, cfg.id_covariate, cfg.results_path or cfg.save_path,
-                epoch=cfg.epochs, eps=cfg.eps,
-            )
+    pipeline.run()  # routes the VI regime through run_vi() internally
     return 0
 
 
@@ -126,6 +56,7 @@ def main_pretrain(argv) -> int:
     model = make_vae(
         cfg.type_nnet, cfg.latent_dim, cfg.num_dim or dataset.num_dim,
         vy_init=cfg.vy_init, dropout=cfg.dropout, dropout_input=cfg.dropout_input,
+        T=cfg.T or None, hidden_dim=cfg.hidden_dim, type_rnn=cfg.type_rnn,
     )
     pre = VAEPretrainer(
         model, dataset, loss_function=cfg.loss_function,

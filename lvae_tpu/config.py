@@ -214,6 +214,18 @@ def parse_flag_lines(lines, cls=LVAEConfig):
     Unknown flags are collected and returned so callers can warn (the
     reference silently accepted anything argparse knew about).
     """
+    values, unknown = _parse_flag_values(lines, cls)
+    cfg = cls(**values)
+    return cfg, unknown
+
+
+def _parse_flag_values(lines, cls) -> Tuple[Dict[str, Any], Dict[str, str]]:
+    """Flag lines → dict of only the flags EXPLICITLY set.
+
+    Nested ``--f=file`` recurses and merges just the sub-file's explicit
+    flags (argparse's LoadFromFile replays the file's lines in place,
+    parse_model_args.py:9-15 — it never resets untouched flags to their
+    defaults, so neither do we)."""
     fields = {f.name: f for f in dataclasses.fields(cls)}
     values: Dict[str, Any] = {}
     unknown: Dict[str, str] = {}
@@ -231,13 +243,11 @@ def parse_flag_lines(lines, cls=LVAEConfig):
         name = name.strip()
         val = val.strip()
         if name == "f":  # nested flag file
-            sub_cfg, sub_unknown = load_flag_file(val, cls)
-            values.update(
-                {
-                    f.name: getattr(sub_cfg, f.name)
-                    for f in dataclasses.fields(cls)
-                }
-            )
+            with open(val) as f:
+                sub_values, sub_unknown = _parse_flag_values(
+                    f.read().splitlines(), cls
+                )
+            values.update(sub_values)
             unknown.update(sub_unknown)
             continue
         if name not in fields:
@@ -255,8 +265,7 @@ def parse_flag_lines(lines, cls=LVAEConfig):
             values[name] = float(val)
         else:
             values[name] = val
-    cfg = cls(**values)
-    return cfg, unknown
+    return values, unknown
 
 
 def load_flag_file(path: str, cls=LVAEConfig) -> Tuple[Any, Dict[str, str]]:

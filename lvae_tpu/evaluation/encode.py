@@ -56,6 +56,17 @@ def encode_dataset(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode every sample: ``(mu [N, L], log_var [N, L])``."""
     n = data.shape[0]
+    t = getattr(model, "T", None)
+    if t:
+        # recurrent encoders consume whole subject sequences: chunks must be
+        # a multiple of T (and the row-0 tail padding then forms complete
+        # fake subjects that never mix into a real one's recurrence)
+        if n % t:
+            raise ValueError(
+                f"RNN encoder needs subject-major data with N divisible by "
+                f"T={t}; got N={n}"
+            )
+        batch_size = max(t, min(batch_size, n) // t * t)
     idx = _chunk_indices(n, batch_size)
     mus, lvs = _encode_scan(model, params, jnp.asarray(data), jnp.asarray(idx))
     latent = mus.shape[-1]

@@ -204,22 +204,6 @@ def vae_test(model, params, test_dataset, rng=None, verbose: bool = True) -> flo
     return m
 
 
-def join_specs(
-    spec0: kx.KernelSpec,
-    spec1: kx.KernelSpec,
-    kp0: kx.KernelParams,
-    kp1: kx.KernelParams,
-):
-    """Concatenate the split kernels back into one additive kernel.
-
-    Used by the exact-GP paths, which evaluate ``covar_module0 +
-    covar_module1`` jointly (LVAE.py:195-196, model_test.py:70).
-    """
-    spec = kx.KernelSpec(components=spec0.components + spec1.components)
-    params = kx.KernelParams(
-        raw_scale=jnp.concatenate([kp0.raw_scale, kp1.raw_scale], axis=-1),
-        raw_lengthscale=jnp.concatenate(
-            [kp0.raw_lengthscale, kp1.raw_lengthscale], axis=-1
-        ),
-    )
-    return spec, params
+# canonical home is ops.kernels (the train layer needs it too); re-exported
+# here for the evaluation-facing callers
+join_specs = kx.join_specs

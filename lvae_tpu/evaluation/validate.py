@@ -46,8 +46,11 @@ def _validate_jit(
     mu_b = jnp.take(mu, block_idx.reshape(-1), axis=0).reshape(p, t, latent)
     lv_b = jnp.take(log_var, block_idx.reshape(-1), axis=0).reshape(p, t, latent)
     ops = eb.gp_block_operators(spec0, spec1, kp0, kp1, noise, xb, z, block_mask, eps)
+    # 'GPapprox' gets the sample-based bound (validation.py:137-145); every
+    # other regime — including 'closed', where the reference's validation
+    # call chain is unreachable (LVAE.py:392 calls .eval() on a bare list) —
+    # gets the DUBO, the reference's default validation loss.
     if type_kl == "GPapprox":
-        # sample-based bound (validation.py:137-145)
         keys = jax.random.split(jax.random.fold_in(rng, 1), num_samples)
 
         def one(key):

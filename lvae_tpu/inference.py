@@ -287,21 +287,16 @@ class CompiledServing:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
             out = np.asarray(fn(self.predictor.vae_params, jnp.asarray(chunk)))
             outs.append(out[: b - pad] if pad else out)
-        return np.concatenate(outs) if outs else np.zeros((0,))
+        if not outs:  # empty input: run one zero batch for the output shape
+            zero = np.zeros((b,) + x.shape[1:], x.dtype)
+            return np.asarray(fn(self.predictor.vae_params, jnp.asarray(zero)))[:0]
+        return np.concatenate(outs)
 
     def encode(self, data) -> np.ndarray:
         data = np.asarray(data, np.float32).reshape((-1,) + self._in_shape[1:])
-        mus = []
-        n, b = data.shape[0], self.batch_size
-        for i in range(0, n, b):
-            chunk = data[i : i + b]
-            pad = b - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            mu, _ = self._encode(self.predictor.vae_params, jnp.asarray(chunk))
-            mu = np.asarray(mu)
-            mus.append(mu[: b - pad] if pad else mu)
-        return np.concatenate(mus)
+        return self._chunked(
+            lambda params, chunk: self._encode(params, chunk)[0], data
+        )
 
     def decode(self, latents) -> np.ndarray:
         return self._chunked(self._decode, np.asarray(latents, np.float32))

@@ -110,19 +110,7 @@ def gp_block_operators(
     l = k0xz_flat.shape[0]
     k0xz = k0xz_flat.reshape(l, p, t, m_ind)
 
-    k0zz = kx.kernel_matrix(spec0, kp0, z, z)
-    # Jitter: the reference uses a fixed eps in float64 (LVAE.py:24). K0zz is
-    # frequently rank-deficient by construction — e.g. an RBF over a time
-    # covariate with few distinct values makes duplicated inducing rows — and
-    # in float32 a 1e-6 jitter leaves K0zz⁻¹ entries ~1e5 that destabilise the
-    # natural-gradient feedback loop. In f32 we therefore floor the jitter
-    # relative to the kernel's scale (f64 keeps the exact reference value).
-    if dtype == jnp.float32:
-        diag_mean = jnp.mean(jnp.diagonal(k0zz, axis1=-2, axis2=-1))
-        eps_eff = jnp.maximum(jnp.asarray(eps, dtype), 3e-4 * diag_mean)
-    else:
-        eps_eff = jnp.asarray(eps, dtype)
-    k0zz = k0zz + eps_eff * jnp.eye(m_ind, dtype=dtype)
+    k0zz = kx.add_adaptive_jitter(kx.kernel_matrix(spec0, kp0, z, z), eps)
     lk0zz, ik0zz = la.cholesky_and_inverse(k0zz)
 
     # Block-pair kernel stacks: the natural [L, S, T, T] layout puts T ≈ 20
@@ -144,9 +132,7 @@ def gp_block_operators(
         k0_st = kx.block_kernel_matrix(spec0, kp0, xb, mask)
         k1_st = kx.block_kernel_matrix(spec1, kp1, xb, mask)
 
-    # diag: σ_l² on real samples, 1 on padding (unit pivot ⇒ logdet offset 0).
-    diag = mask[None] * noise[:, None, None] + (1.0 - mask)[None]
-    b = k1_st + diag[..., None] * jnp.eye(t, dtype=dtype)
+    b = kx.block_b_operator(spec1, kp1, xb, mask, noise, k1_st=k1_st)
     lb, ib = la.cholesky_and_inverse(b)
 
     ib_k0xz = ib @ k0xz

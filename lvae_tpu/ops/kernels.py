@@ -337,3 +337,71 @@ def split_kernel_spec(
             _make_component("bin_rbf", d["cont_covariate"], (), (d["bin_covariate"],), mv)
         )
     return KernelSpec(components=tuple(k0)), KernelSpec(components=tuple(k1))
+
+
+def add_adaptive_jitter(kzz: jax.Array, eps: float) -> jax.Array:
+    """``K(z,z) + ε_eff·I`` — the training/serving inducing-matrix jitter.
+
+    The reference uses a fixed float64 eps (LVAE.py:24). K0zz is frequently
+    rank-deficient by construction (an RBF over a covariate with few distinct
+    values duplicates inducing rows), and in float32 a 1e-6 jitter leaves
+    K0zz⁻¹ entries ~1e5 that destabilise the natural-gradient feedback loop —
+    so f32 floors the jitter relative to the kernel's scale
+    (``max(eps, 3e-4·mean diag)``); f64 keeps the exact reference value.
+    Single definition shared by the training loss (elbo.gp_block_operators),
+    the predictor (predict.gp_predict) and the serving basis
+    (predict.precompute_predict_basis) so train/serve stay bit-consistent.
+    """
+    m = kzz.shape[-1]
+    dtype = kzz.dtype
+    if dtype == jnp.float32:
+        diag_mean = jnp.mean(jnp.diagonal(kzz, axis1=-2, axis2=-1))
+        eps_eff = jnp.maximum(jnp.asarray(eps, dtype), 3e-4 * diag_mean)
+    else:
+        eps_eff = jnp.asarray(eps, dtype)
+    return kzz + eps_eff * jnp.eye(m, dtype=dtype)
+
+
+def block_b_operator(
+    spec1: KernelSpec,
+    kp1: KernelParams,
+    xb: jax.Array,
+    mask: jax.Array,
+    noise: jax.Array,
+    k1_st: Optional[jax.Array] = None,
+) -> jax.Array:
+    """``B = K1 + σ²I`` per subject block ``[L, P, T, T]``.
+
+    σ_l² on real samples, unit pivot on padding (⇒ logdet offset 0) — the
+    blocked form of the reference's ``K1 + noise·I`` (elbo_functions.py
+    ``minibatch_KLD_upper_bound``'s B). Pass ``k1_st`` when the caller
+    already built the block stack (e.g. via the Pallas pair builder).
+    """
+    t = xb.shape[1]
+    dtype = xb.dtype
+    if k1_st is None:
+        k1_st = block_kernel_matrix(spec1, kp1, xb, mask)
+    diag = mask[None] * noise[:, None, None] + (1.0 - mask)[None]
+    return k1_st + diag[..., None] * jnp.eye(t, dtype=dtype)
+
+
+def join_specs(
+    spec0: KernelSpec,
+    spec1: KernelSpec,
+    kp0: KernelParams,
+    kp1: KernelParams,
+) -> Tuple[KernelSpec, KernelParams]:
+    """Concatenate the split kernels back into one additive kernel.
+
+    Used by the exact-GP paths, which evaluate ``covar_module0 +
+    covar_module1`` jointly (LVAE.py:195-196, model_test.py:70), and by the
+    closed-form KL (KL_closed receives the full prior, training.py:499-513).
+    """
+    spec = KernelSpec(components=spec0.components + spec1.components)
+    params = KernelParams(
+        raw_scale=jnp.concatenate([kp0.raw_scale, kp1.raw_scale], axis=-1),
+        raw_lengthscale=jnp.concatenate(
+            [kp0.raw_lengthscale, kp1.raw_lengthscale], axis=-1
+        ),
+    )
+    return spec, params

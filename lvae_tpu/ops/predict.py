@@ -82,23 +82,13 @@ def gp_predict(
     k0xz = kx.kernel_matrix(spec0, kp0, x_flat, z, mask1=mask_flat)
     latent_dim = k0xz.shape[0]
     k0xz = k0xz.reshape(latent_dim, p, t, m_ind)
-    k0zz = kx.kernel_matrix(spec0, kp0, z, z)
-    # f32 needs the same adaptive relative jitter as the training path
-    # (ops/elbo.py gp_block_operators): K0zz is rank-deficient by
-    # construction with few distinct covariate values, and H = K0zz + Σ ...
-    # inherits that — observed NaN Cholesky at trained hyperparameters.
-    if dtype == jnp.float32:
-        diag_mean = jnp.mean(jnp.diagonal(k0zz, axis1=-2, axis2=-1))
-        eps_eff = jnp.maximum(jnp.asarray(eps, dtype), 3e-4 * diag_mean)
-    else:
-        eps_eff = jnp.asarray(eps, dtype)
-    k0zz = k0zz + eps_eff * jnp.eye(m_ind, dtype=dtype)
+    # the training path's adaptive jitter (kx.add_adaptive_jitter): H =
+    # K0zz + Σ ... inherits K0zz's rank deficiency — observed NaN Cholesky
+    # at trained hyperparameters without it
+    k0zz = kx.add_adaptive_jitter(kx.kernel_matrix(spec0, kp0, z, z), eps)
     k0Xz = kx.kernel_matrix(spec0, kp0, X_flat, z, mask1=Xmask_flat)
 
-    # B = K1 + σ²I per subject block (unit diagonal on padding)
-    k1_st = kx.block_kernel_matrix(spec1, kp1, xb, mask)
-    diag = mask[None] * noise[:, None, None] + (1.0 - mask)[None]
-    b = k1_st + diag[..., None] * jnp.eye(t, dtype=dtype)
+    b = kx.block_b_operator(spec1, kp1, xb, mask, noise)
     _, ib = la.cholesky_and_inverse(b)
 
     ib_k0xz = ib @ k0xz
@@ -255,17 +245,9 @@ def precompute_predict_basis(
     k0xz = kx.kernel_matrix(spec0, kp0, x_flat, z, mask1=mask.reshape(p * t))
     latent_dim = k0xz.shape[0]
     k0xz = k0xz.reshape(latent_dim, p, t, m_ind)
-    k0zz = kx.kernel_matrix(spec0, kp0, z, z)
-    if dtype == jnp.float32:
-        diag_mean = jnp.mean(jnp.diagonal(k0zz, axis1=-2, axis2=-1))
-        eps_eff = jnp.maximum(jnp.asarray(eps, dtype), 3e-4 * diag_mean)
-    else:
-        eps_eff = jnp.asarray(eps, dtype)
-    k0zz = k0zz + eps_eff * jnp.eye(m_ind, dtype=dtype)
+    k0zz = kx.add_adaptive_jitter(kx.kernel_matrix(spec0, kp0, z, z), eps)
 
-    k1_st = kx.block_kernel_matrix(spec1, kp1, xb, mask)
-    diag = mask[None] * noise[:, None, None] + (1.0 - mask)[None]
-    b = k1_st + diag[..., None] * jnp.eye(t, dtype=dtype)
+    b = kx.block_b_operator(spec1, kp1, xb, mask, noise)
     _, ib = la.cholesky_and_inverse(b)
 
     ib_k0xz = ib @ k0xz

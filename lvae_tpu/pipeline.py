@@ -54,9 +54,21 @@ class LVAEPipeline:
         if self.dataset is None:
             raise ValueError("No training dataset configured")
         need_pred = cfg.run_tests or cfg.generate_images
+        # VI also consumes a prediction cohort when one is configured
+        # (training.py:688-749) but runs fine without it
+        want_pred = need_pred or cfg.variational_inference_training
         self.prediction_dataset = ds.get("prediction") or (
-            load_dataset(cfg, "prediction") if need_pred else None
+            load_dataset(cfg, "prediction") if want_pred else None
         )
+        if need_pred and self.prediction_dataset is None:
+            # fail at construction, not mid-training in the best-model
+            # callback: tests/generation regress on the prediction cohort
+            # (LVAE.py:395-421 encodes prediction_dataset first)
+            raise ValueError(
+                "run_tests/generate_images need a prediction cohort: pass "
+                "datasets['prediction'] or set csv_file_prediction_data/"
+                "prediction_mask_file"
+            )
         self.generation_dataset = ds.get("generation") or (
             load_dataset(cfg, "generation") if cfg.generate_images else None
         )
@@ -100,25 +112,12 @@ class LVAEPipeline:
         reference's torch ``.pth`` state_dicts (converted via
         utils.torch_compat) so reference users can migrate trained VAEs.
         """
-        path = self.cfg.model_params
-        ckpt = None
-        if path and os.path.exists(path):
-            if path.endswith(".pth"):
-                try:
-                    from lvae_tpu.utils.torch_compat import load_torch_vae_checkpoint
-
-                    ckpt = load_torch_vae_checkpoint(
-                        path, self.cfg.type_nnet, self.cfg.latent_dim
-                    )
-                except Exception as e:  # noqa: BLE001
-                    print(f"torch checkpoint conversion failed: {e}")
-            else:
-                like_vae = (
-                    trainer.state.trainables.vae
-                    if hasattr(getattr(trainer, "state", None), "trainables")
-                    else None
-                )
-                ckpt = self._load_ckpt(path, like=like_vae)
+        like_vae = (
+            trainer.state.trainables.vae
+            if hasattr(getattr(trainer, "state", None), "trainables")
+            else None
+        )
+        ckpt = self._pretrained_vae_params(like=like_vae)
         if ckpt is None:
             print("Did not load pre-trained values.")
             return
@@ -129,6 +128,24 @@ class LVAEPipeline:
             print("Loaded pre-trained values.")
         except Exception as e:  # noqa: BLE001
             print(f"Did not load pre-trained values: {e}")
+
+    def _pretrained_vae_params(self, like=None):
+        """Load ``cfg.model_params`` as VAE params — ``.ckpt`` pytree or
+        reference torch ``.pth`` state_dict — or return None."""
+        path = self.cfg.model_params
+        if not (path and os.path.exists(path)):
+            return None
+        if path.endswith(".pth"):
+            try:
+                from lvae_tpu.utils.torch_compat import load_torch_vae_checkpoint
+
+                return load_torch_vae_checkpoint(
+                    path, self.cfg.type_nnet, self.cfg.latent_dim
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"torch checkpoint conversion failed: {e}")
+                return None
+        return self._load_ckpt(path, like=like)
 
     def build_trainer(self):
         cfg = self.cfg
@@ -162,7 +179,10 @@ class LVAEPipeline:
                 # delegates everything else to the inner trainer
                 self.trainer = ShardedHensmanTrainer(self.trainer, mesh)
         elif cfg.variational_inference_training:
-            raise RuntimeError("use run(); VI needs a pre-trained encoder")
+            raise RuntimeError(
+                "the VI regime has no amortised trainer; run() routes it "
+                "through run_vi() (training.py:602-764)"
+            )
         else:
             scfg = StandardConfig(
                 spec0=self.spec0, spec1=self.spec1, latent_dim=cfg.latent_dim,
@@ -172,11 +192,6 @@ class LVAEPipeline:
                 constrain_scales=cfg.constrain_scales, eps=cfg.eps,
                 dropout=cfg.dropout > 0, vy_fixed=cfg.vy_fixed,
             )
-            if cfg.type_KL == "closed":
-                spec_full = kx.KernelSpec(
-                    components=self.spec0.components + self.spec1.components
-                )
-                scfg = scfg._replace(spec0=spec_full, spec1=kx.KernelSpec(()))
             self.trainer = StandardTrainer(
                 self.model, scfg, self.dataset, self.blocks, z,
                 learning_rate=cfg.learning_rate, seed=cfg.seed, dtype=self.dtype,
@@ -282,13 +297,15 @@ class LVAEPipeline:
                 os.path.join(out, "model_best.ckpt"), trainer.state,
                 metadata={"epoch": epoch, "val": res.net},
             )
-            if cfg.run_tests and self.test_dataset is not None:
-                self._run_tests(save_file="result_error_best.csv")
-            if cfg.generate_images and self.generation_dataset is not None:
+            run_tests = cfg.run_tests and self.test_dataset is not None
+            gen = cfg.generate_images and self.generation_dataset is not None
+            pred = self.encode_prediction_cohort() if (run_tests or gen) else None
+            if run_tests:
+                self._run_tests(save_file="result_error_best.csv", pred=pred)
+            if gen:
                 # best-model artefact (training.py:200-204 →
                 # predict_HealthMNIST.py:140: recon_complete_best.pdf)
-                vae_params, gp_params, noise = self.current_params()
-                prediction_x, prediction_mu = self.encode_prediction_cohort()
+                prediction_x, prediction_mu = pred
                 recon_complete_gen(
                     self.generation_dataset, self.model, vae_params, gp_params,
                     noise, self.spec0, self.spec1, prediction_x, prediction_mu,
@@ -375,10 +392,12 @@ class LVAEPipeline:
         return ds.labels, mu
 
     # ------------------------------------------------------------ evaluation
-    def _run_tests(self, save_file: str = "result_error.csv"):
+    def _run_tests(self, save_file: str = "result_error.csv", pred=None):
         cfg = self.cfg
         vae_params, gp_params, noise = self.current_params()
-        prediction_x, prediction_mu = self.encode_prediction_cohort()
+        # callers with both run_tests and generate_images on pass the encoded
+        # cohort in so the full encoder pass runs once per model snapshot
+        prediction_x, prediction_mu = pred or self.encode_prediction_cohort()
         out = cfg.results_path or cfg.save_path
         if cfg.type_KL in ("GPapprox", "GPapprox_closed"):
             return mse_test_gp_approx(
@@ -411,9 +430,79 @@ class LVAEPipeline:
             wait_for_async_saves()
         self.metrics.flush()
 
+    def run_vi(self, pred_epochs: int = 1000):
+        """The VI regime end-to-end (LVAE.py:289-301 →
+        training.py:602-764): optimise free per-point (mu, log_var) with the
+        decoder + GP hyperparameters, then jointly infer the prediction
+        cohort's latents (``pred_epochs`` steps, reference fixes 1000), then
+        decode the generation grid."""
+        import jax.numpy as jnp
+
+        from lvae_tpu.train.vi import VIConfig, VITrainer
+
+        cfg = self.cfg
+        vae_params = self._pretrained_vae_params()
+        if vae_params is None:
+            rows = int(getattr(self.model, "T", 0) or 0) or 2
+            vae_params = jax.jit(
+                lambda k, x: self.model.init(k, x, deterministic=True)
+            )(jax.random.key(cfg.seed), jnp.asarray(self.dataset.data[:rows]))
+            print("Did not load pre-trained values.")
+        else:
+            print("Loaded pre-trained values.")
+        gp_params = st.init_gp_params(
+            self.spec0, self.spec1, cfg.latent_dim,
+            constrain_scales=cfg.constrain_scales,
+        )
+        z = st.init_inducing_points(self.dataset.labels, cfg.M, seed=cfg.seed)
+        vicfg = VIConfig(
+            spec0=self.spec0, spec1=self.spec1, latent_dim=cfg.latent_dim,
+            weight=cfg.weight, loss_function=cfg.loss_function,
+            constrain_scales=cfg.constrain_scales, eps=cfg.eps,
+        )
+        self.trainer = VITrainer(
+            self.model, vicfg, self.dataset, self.blocks, z, vae_params,
+            gp_params, learning_rate=cfg.learning_rate, seed=cfg.seed,
+        )
+        self.trainer.fit(cfg.epochs, log_every=1)
+        if self.prediction_dataset is not None:
+            trainer = self.trainer
+            mu_pred, _ = trainer.optimize_prediction_set(
+                self.prediction_dataset, epochs=pred_epochs
+            )
+            if cfg.generate_images and self.generation_dataset is not None:
+                # variational_complete_gen (predict_HealthMNIST.py:145-172):
+                # decode GP-predicted latents from the jointly-optimised cohort
+                prediction_x = np.concatenate(
+                    [
+                        np.asarray(self.prediction_dataset.labels),
+                        trainer.labels[trainer.order],
+                    ],
+                    0,
+                )
+                prediction_mu = np.concatenate(
+                    [mu_pred, np.asarray(trainer.state.mu)], 0
+                )
+                noise = (
+                    jnp.ones((cfg.latent_dim,))
+                    if cfg.constrain_scales
+                    else kx.constrain(trainer.state.gp.raw_noise)
+                )
+                recon_complete_gen(
+                    self.generation_dataset, self.model, trainer.state.vae,
+                    trainer.state.gp, noise, self.spec0, self.spec1,
+                    prediction_x, prediction_mu, trainer.z_ind,
+                    cfg.id_covariate, cfg.results_path or cfg.save_path,
+                    epoch=cfg.epochs, eps=cfg.eps,
+                )
+        self.metrics.flush()
+        return None
+
     def run(self):
         """Full experiment: train → save → validate → test → generate."""
         cfg = self.cfg
+        if cfg.variational_inference_training:
+            return self.run_vi()
         self.build_trainer()
         self.train()
         self.save_artifacts()
@@ -423,13 +512,17 @@ class LVAEPipeline:
                 self.model, vae_params, gp_params, noise, self.spec0, self.spec1,
                 self.validation_dataset, self.trainer.tdata.z, cfg.id_covariate,
                 cfg.weight, cfg.loss_function, cfg.latent_dim, cfg.eps,
+                type_kl=cfg.type_KL, num_samples=cfg.num_samples,
             )
         result = None
-        if cfg.run_tests and self.test_dataset is not None:
-            result = self._run_tests()
-        if cfg.generate_images and self.generation_dataset is not None:
+        run_tests = cfg.run_tests and self.test_dataset is not None
+        gen = cfg.generate_images and self.generation_dataset is not None
+        pred = self.encode_prediction_cohort() if (run_tests or gen) else None
+        if run_tests:
+            result = self._run_tests(pred=pred)
+        if gen:
             vae_params, gp_params, noise = self.current_params()
-            prediction_x, prediction_mu = self.encode_prediction_cohort()
+            prediction_x, prediction_mu = pred
             recon_complete_gen(
                 self.generation_dataset, self.model, vae_params, gp_params,
                 noise, self.spec0, self.spec1, prediction_x, prediction_mu,

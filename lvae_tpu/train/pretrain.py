@@ -59,8 +59,9 @@ def make_pretrain_epoch_fn(model, optimizer, loss_function: str, dropout: bool,
             loss=loss, recon=jnp.sum(mse_i), nll=jnp.sum(nll_i), kld=jnp.sum(kld_i)
         )
 
-    @functools.partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,))
-    def epochs_fn(state, data, pixmask, batch_size: int, n_epochs: int):
+    @functools.partial(jax.jit, static_argnums=(3, 4, 5), donate_argnums=(0,))
+    def epochs_fn(state, data, pixmask, batch_size: int, n_epochs: int,
+                  seq_len: int = 0):
         n = data.shape[0]
         n_batches = n // batch_size
 
@@ -82,8 +83,17 @@ def make_pretrain_epoch_fn(model, optimizer, loss_function: str, dropout: bool,
             rng, perm_key = jax.random.split(state.rng)
             state = state._replace(rng=rng)
             # on-device shuffle (dropping the ragged tail, as the reference's
-            # drop_last-free loader effectively sees shuffled batches)
-            perm = jax.random.permutation(perm_key, n)[: n_batches * batch_size]
+            # drop_last-free loader effectively sees shuffled batches).
+            # A recurrent encoder (seq_len=T) shuffles whole subjects so each
+            # batch stays subject-major with intact sequences.
+            if seq_len:
+                sperm = jax.random.permutation(perm_key, n // seq_len)
+                perm = (
+                    sperm[:, None] * seq_len + jnp.arange(seq_len)[None, :]
+                ).reshape(-1)
+            else:
+                perm = jax.random.permutation(perm_key, n)
+            perm = perm[: n_batches * batch_size]
             state, ms = jax.lax.scan(
                 step, state, perm.reshape(n_batches, batch_size)
             )
@@ -115,6 +125,18 @@ class VAEPretrainer:
         self.pixmask = jnp.asarray(dataset.mask, dtype)
         self.n = len(dataset)
         self.batch_size = min(self.n, batch_size)
+        # A recurrent encoder consumes whole subject sequences: batches must
+        # be subject-major multiples of T (models/rnn.py RNNVAE.encode).
+        self.seq_len = int(getattr(model, "T", 0) or 0)
+        if self.seq_len:
+            if self.n % self.seq_len:
+                raise ValueError(
+                    f"RNN pre-training needs subject-major data with N "
+                    f"divisible by T={self.seq_len}; got N={self.n}"
+                )
+            self.batch_size = max(
+                self.seq_len, self.batch_size // self.seq_len * self.seq_len
+            )
         self.optimizer = optax.adam(learning_rate)
         self.epoch_fn = make_pretrain_epoch_fn(
             model, self.optimizer, loss_function, dropout, vy_fixed
@@ -122,7 +144,7 @@ class VAEPretrainer:
         key = jax.random.key(seed)
         k_init, k_state = jax.random.split(key)
         params = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
-            k_init, self.data[:2]
+            k_init, self.data[: (self.seq_len or 2)]
         )
         self.state = PretrainState(
             params=params,
@@ -134,7 +156,7 @@ class VAEPretrainer:
 
     def run_epochs(self, n: int):
         self.state, ms = self.epoch_fn(
-            self.state, self.data, self.pixmask, self.batch_size, n
+            self.state, self.data, self.pixmask, self.batch_size, n, self.seq_len
         )
         host = jax.tree.map(np.asarray, ms)
         out = []

@@ -40,7 +40,7 @@ from lvae_tpu.train import state as st
 
 
 class StandardConfig(NamedTuple):
-    spec0: kx.KernelSpec  # for 'closed', holds the FULL joint kernel
+    spec0: kx.KernelSpec
     spec1: Optional[kx.KernelSpec]
     latent_dim: int
     P_tot: int
@@ -109,8 +109,14 @@ def full_batch_loss(
     lv_b = log_var.reshape(p, t, latent)
 
     if cfg.type_KL == "closed":
+        # KL_closed sees the FULL additive prior; join the split kernels on
+        # the fly so the trainer's params keep the (kp0, kp1) layout every
+        # downstream consumer (validate, prediction, generation, serving)
+        # expects — the reference's non-split `covar_module` exists only in
+        # this loss (training.py:499-513)
+        spec_full, kp_full = kx.join_specs(cfg.spec0, cfg.spec1, gp.kp0, gp.kp1)
         k_prior = kx.kernel_matrix(
-            cfg.spec0, gp.kp0, tdata.labels, tdata.labels
+            spec_full, kp_full, tdata.labels, tdata.labels
         ) + noise[:, None, None] * jnp.eye(tdata.labels.shape[0], dtype=mu.dtype)
         gp_loss = jnp.sum(
             jax.vmap(eb.kl_closed)(k_prior, mu.T, log_var.T)

@@ -73,6 +73,11 @@ class VITrainer:
         order = blocks.index.reshape(-1)
         assert blocks.mask.all(), "VI regime expects fixed-T cohorts"
         self.order = order
+        # subject-major views, gathered once (fit() re-used to re-gather the
+        # full image tensor on every epoch — one wasted O(N·D) device copy +
+        # dispatch round trip per epoch on the remote chip)
+        self.data_ordered = self.data[order]
+        self.pixmask_ordered = self.pixmask[order]
         self.xb = jnp.asarray(dataset.labels[order], dtype).reshape(
             blocks.num_subjects, blocks.t_max, -1
         )
@@ -98,7 +103,6 @@ class VITrainer:
         cfg_ = cfg
         model_ = model
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
         def step_fn(state: VIState, data, pixmask, xb, block_mask, z_ind):
             rng, key = jax.random.split(state.rng)
 
@@ -145,24 +149,45 @@ class VITrainer:
                 (net,) + aux,
             )
 
+        # multi-epoch dispatch: one remote round trip per CHUNK of epochs
+        # (an eager per-epoch loop costs seconds/epoch on the remote chip —
+        # see train/hensman.py docstring for the dispatch model)
+        @functools.partial(jax.jit, static_argnums=(6,), donate_argnums=(0,))
+        def epochs_fn(state, data, pixmask, xb, block_mask, z_ind, n_epochs):
+            def body(state, _):
+                state, metrics = step_fn(
+                    state, data, pixmask, xb, block_mask, z_ind
+                )
+                return state, jnp.stack(metrics)
+
+            return jax.lax.scan(body, state, length=n_epochs)
+
         self.step_fn = step_fn
+        self.epochs_fn = epochs_fn
         self.history: list = []
 
-    def fit(self, epochs: int, log_every: int = 100):
-        for epoch in range(1, epochs + 1):
-            self.state, (net, recon, nll, gp) = self.step_fn(
-                self.state, self.data[self.order], self.pixmask[self.order],
-                self.xb, self.block_mask, self.z_ind,
+    def fit(self, epochs: int, log_every: int = 100, chunk: int = 100):
+        done = 0
+        while done < epochs:
+            n = min(max(chunk, 1), epochs - done)
+            self.state, ms = self.epochs_fn(
+                self.state, self.data_ordered, self.pixmask_ordered,
+                self.xb, self.block_mask, self.z_ind, n,
             )
-            m = dict(net=float(net), recon=float(recon), nll=float(nll), gp=float(gp))
-            self.history.append(m)
-            if log_every and epoch % log_every == 0:
-                print(
-                    "Iter %d/%d - Loss: %.3f  - GP loss: %.3f  - NLL Loss: %.3f"
-                    "  - Recon Loss: %.3f"
-                    % (epoch, epochs, m["net"], m["gp"], m["nll"], m["recon"]),
-                    flush=True,
-                )
+            ms = np.asarray(ms)  # [n, 4]
+            for i in range(n):
+                epoch = done + i + 1
+                net, recon, nll, gp = (float(v) for v in ms[i])
+                m = dict(net=net, recon=recon, nll=nll, gp=gp)
+                self.history.append(m)
+                if log_every and epoch % log_every == 0:
+                    print(
+                        "Iter %d/%d - Loss: %.3f  - GP loss: %.3f  - NLL "
+                        "Loss: %.3f  - Recon Loss: %.3f"
+                        % (epoch, epochs, net, gp, nll, recon),
+                        flush=True,
+                    )
+            done += n
         return self.history
 
     def optimize_prediction_set(
@@ -199,7 +224,6 @@ class VITrainer:
         cfg_ = cfg
         model_ = model
 
-        @jax.jit
         def pred_step(mu_pred, lv_pred, opt_state, key):
             def loss(tr):
                 mu_p, lv_p = tr
@@ -241,18 +265,39 @@ class VITrainer:
             mu_pred, lv_pred = optax.apply_updates((mu_pred, lv_pred), updates)
             return mu_pred, lv_pred, opt_state, net, aux
 
-        key = jax.random.key(seed)
-        for epoch in range(1, epochs + 1):
-            key, sub = jax.random.split(key)
-            mu_pred, lv_pred, opt_state, net, (recon_loss, gp_loss) = pred_step(
-                mu_pred, lv_pred, opt_state, sub
-            )
-            if log_every and epoch % log_every == 0:
-                print(
-                    "Iter %d/%d - Total Loss: %.3f  - GP Loss: %.3f  - Recon Loss: %.3f"
-                    % (epoch, epochs, float(net), float(gp_loss), float(recon_loss)),
-                    flush=True,
+        # chunked multi-step dispatch, as in fit()
+        @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+        def pred_steps(carry, key, n_steps: int):
+            def body(carry, k):
+                mu_p, lv_p, opt_state = carry
+                mu_p, lv_p, opt_state, net, (recon, gp_l) = pred_step(
+                    mu_p, lv_p, opt_state, k
                 )
+                return (mu_p, lv_p, opt_state), jnp.stack((net, recon, gp_l))
+
+            return jax.lax.scan(body, carry, jax.random.split(key, n_steps))
+
+        key = jax.random.key(seed)
+        carry = (mu_pred, lv_pred, opt_state)
+        chunk = max(1, log_every or 100)
+        done = 0
+        while done < epochs:
+            n = min(chunk, epochs - done)
+            key, sub = jax.random.split(key)
+            carry, ms = pred_steps(carry, sub, n)
+            ms = np.asarray(ms)
+            for i in range(n):
+                epoch = done + i + 1
+                if log_every and epoch % log_every == 0:
+                    net, recon_loss, gp_loss = ms[i]
+                    print(
+                        "Iter %d/%d - Total Loss: %.3f  - GP Loss: %.3f"
+                        "  - Recon Loss: %.3f"
+                        % (epoch, epochs, net, gp_loss, recon_loss),
+                        flush=True,
+                    )
+            done += n
+        mu_pred, lv_pred, _ = carry
         return np.asarray(mu_pred), np.asarray(lv_pred)
 
     def _id_cov(self) -> int:

@@ -1,0 +1,170 @@
+"""Regression tests for the round-2 code-review findings.
+
+Each test pins a behaviour that used to crash or silently misbehave:
+closed-KL evaluation flows, nested ``--f`` flag files, the VI regime through
+``LVAEPipeline.run()``, and the RNN encoder through pre-training/encoding.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from lvae_tpu.config import LVAEConfig, parse_flag_lines
+from lvae_tpu.pipeline import LVAEPipeline
+from tests.test_pipeline import healthmnist_like, make_cfg
+
+
+def test_closed_kl_with_validation_tests_generation(tmp_path):
+    """type_KL='closed' + validation/tests/generation used to trace-crash:
+    the trainer got a joined spec0 and an EMPTY spec1, then validate()/
+    recon_complete_gen() indexed kp1's size-0 param axis. The trainer now
+    keeps the split (kp0, kp1) layout and joins only inside the closed-KL
+    loss (training.py:499-513), so every downstream consumer works.
+    (The reference itself crashes on this config — LVAE.py:392 calls .eval()
+    on a bare list — this is the intended-behaviour repair.)"""
+    out = str(tmp_path)
+    cfg = make_cfg(
+        out, hensman=False, natural_gradient=False, type_KL="closed",
+        epochs=2, latent_dim=2, run_validation=True, run_tests=True,
+        generate_images=True, test_freq=1, checkpoint_every=1,
+    )
+    datasets = {
+        "train": healthmnist_like(p=4, seed=0),
+        "validation": healthmnist_like(p=3, seed=1),
+        "test": healthmnist_like(p=3, seed=2),
+        "prediction": healthmnist_like(p=4, seed=0),
+        "generation": healthmnist_like(p=3, seed=2),
+    }
+    pipeline = LVAEPipeline(cfg, datasets)
+    result = pipeline.run()
+    assert result is not None
+    assert np.isfinite(result.vae_mse) and np.isfinite(result.gp_mse)
+    assert np.isfinite(pipeline.best["val"])
+    assert os.path.exists(os.path.join(out, "recon_complete.pdf"))
+
+
+def test_nested_flag_file_does_not_clobber_explicit_flags(tmp_path):
+    """A nested --f=file must merge only the sub-file's EXPLICIT flags —
+    argparse's LoadFromFile replays lines in place (parse_model_args.py:9-15)
+    and never resets untouched flags to defaults."""
+    common = tmp_path / "common.txt"
+    common.write_text("--M=33\n")
+    cfg, unknown = parse_flag_lines(
+        [f"--latent_dim=32", f"--f={common}", "--weight=5"], LVAEConfig
+    )
+    assert not unknown
+    assert cfg.latent_dim == 32  # was clobbered back to the default 2
+    assert cfg.M == 33
+    assert cfg.weight == 5.0
+
+
+def test_prediction_dataset_guard_fails_at_construction(tmp_path):
+    """run_tests without a prediction cohort fails at construction, not in
+    the best-model callback mid-training."""
+    cfg = make_cfg(str(tmp_path), run_tests=True, run_validation=False,
+                   generate_images=False)
+    with pytest.raises(ValueError, match="prediction cohort"):
+        LVAEPipeline(cfg, {"train": healthmnist_like(seed=0),
+                           "test": healthmnist_like(p=3, seed=2)})
+
+
+def test_vi_regime_through_pipeline_run(tmp_path):
+    """run() routes variational_inference_training to run_vi()
+    (LVAE.py:289-301) instead of dead-ending in build_trainer()."""
+    out = str(tmp_path)
+    cfg = make_cfg(
+        out, hensman=False, natural_gradient=False,
+        variational_inference_training=True, epochs=5, latent_dim=2,
+        run_validation=False, run_tests=False, generate_images=False,
+    )
+    train = healthmnist_like(p=4, seed=0)
+    pred = healthmnist_like(p=3, seed=5)
+    pred.labels[:, 2] += 100  # disjoint subject ids
+    pipeline = LVAEPipeline(cfg, {"train": train, "prediction": pred})
+    assert pipeline.prediction_dataset is not None  # loaded for VI
+    pipeline.run_vi(pred_epochs=5)
+    assert len(pipeline.trainer.history) == cfg.epochs
+    assert np.isfinite(pipeline.trainer.history[-1]["net"])
+    # and the generic entry point reaches the same flow
+    pipeline2 = LVAEPipeline(cfg, {"train": train})
+    assert pipeline2.run() is None
+
+
+def test_rnn_pretrain_and_encode_chunking():
+    """VAEPretrainer + encode_dataset handle the RNN family: batches stay
+    subject-major multiples of T, and indivisible cohorts fail loudly."""
+    from lvae_tpu.evaluation.encode import encode_dataset
+    from lvae_tpu.models.rnn import RNNVAE
+    from lvae_tpu.train.pretrain import VAEPretrainer
+    from tests.test_training import tiny_cohort
+
+    t = 4
+    ds = tiny_cohort(p=6, t=t)
+    model = RNNVAE(latent_dim=3, num_dim=20, T=t, hidden_dim=8)
+    # batch_size=10 is not a multiple of T=4 → rounded down to 8
+    pre = VAEPretrainer(model, ds, batch_size=10, dropout=False)
+    assert pre.batch_size == 8
+    m = pre.run_epoch()
+    assert np.isfinite(m.loss)
+
+    # encode_dataset: chunk size forced to a multiple of T
+    mu, lv = encode_dataset(model, pre.params, ds.data, batch_size=10)
+    assert mu.shape == (len(ds), 3) and np.isfinite(mu).all()
+    # matches the unchunked encode exactly (no fake-subject mixing)
+    mu1, _ = encode_dataset(model, pre.params, ds.data, batch_size=len(ds))
+    np.testing.assert_allclose(mu, mu1, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="divisible"):
+        encode_dataset(model, pre.params, ds.data[: t * 2 + 1])
+
+    from lvae_tpu.data.datasets import ArrayDataset
+
+    bad = ArrayDataset(ds.data[:-1], ds.labels[:-1], ds.mask[:-1])
+    with pytest.raises(ValueError, match="divisible"):
+        VAEPretrainer(model, bad, dropout=False)
+
+
+def test_rnn_cli_pretrain_forwards_args(tmp_path):
+    """The pretrain CLI path builds the RNN from the flag file's T/
+    hidden_dim/type_rnn (they used to be dropped → assertion failure)."""
+    from lvae_tpu.config import VAEConfig
+
+    cfg, _ = parse_flag_lines(
+        ["--type_nnet=rnn", "--T=4", "--hidden_dim=8", "--type_rnn=gru",
+         "--latent_dim=3", "--num_dim=20", "--epochs=1",
+         f"--save_path={tmp_path}"],
+        VAEConfig,
+    )
+    from lvae_tpu.models.vae import make_vae
+
+    model = make_vae(
+        cfg.type_nnet, cfg.latent_dim, cfg.num_dim,
+        vy_init=cfg.vy_init, dropout=cfg.dropout,
+        dropout_input=cfg.dropout_input,
+        T=cfg.T or None, hidden_dim=cfg.hidden_dim, type_rnn=cfg.type_rnn,
+    )
+    assert model.T == 4 and model.hidden_dim == 8 and model.type_rnn == "gru"
+
+
+def test_serving_encode_matches_chunked_and_empty_shapes(tmp_path):
+    """CompiledServing.encode shares _chunked (was a line-for-line copy) and
+    empty inputs return correctly-shaped outputs."""
+    from lvae_tpu.inference import LVAEPredictor
+
+    cfg = make_cfg(str(tmp_path), epochs=1, run_validation=False,
+                   generate_images=False, run_tests=False)
+    ds = healthmnist_like(p=6, t=5, seed=0)
+    pipeline = LVAEPipeline(cfg, {"train": ds})
+    pipeline.build_trainer()
+    pipeline.train()
+    pred = LVAEPredictor.from_pipeline(pipeline)
+    bundle = pred.aot_compile(batch_size=8)
+
+    frames = ds.data[:13]
+    mu = bundle.encode(frames)
+    np.testing.assert_allclose(mu, pred.encode(frames), rtol=1e-6, atol=1e-6)
+    empty = bundle.encode(np.zeros((0,) + ds.data.shape[1:], np.float32))
+    assert empty.shape == (0, cfg.latent_dim)
+    empty_d = bundle.decode(np.zeros((0, cfg.latent_dim), np.float32))
+    assert empty_d.shape[0] == 0
