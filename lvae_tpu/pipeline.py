@@ -421,8 +421,35 @@ class LVAEPipeline:
         out = cfg.save_path
         os.makedirs(out, exist_ok=True)
         hist = self.trainer.history
+        if self.best["epoch"]:
+            print("Best results in epoch: " + str(self.best["epoch"]))
         with open(os.path.join(out, "diagnostics.pkl"), "wb") as f:
             pickle.dump(hist, f)
+        # plot_values.pkl = [train_x, mu, log_var, Z, label_id]
+        # (LVAE.py:350). The reference stores mu/log_var left over from the
+        # LAST CHUNK of the pre-training GP-init loop (LVAE.py:159-172) — a
+        # scope accident; we save the final model's full-cohort encodings,
+        # which is the plotting payload the artefact exists for.
+        from lvae_tpu.models.vae import sample_latent
+
+        vae_params, _, _ = self.current_params()
+        mu, log_var = encode_dataset(self.model, vae_params, self.dataset.data)
+        z_sample = np.asarray(
+            jax.jit(sample_latent)(
+                jax.random.key(cfg.seed), jnp.asarray(mu), jnp.asarray(log_var)
+            )
+        )
+        with open(os.path.join(out, "plot_values.pkl"), "wb") as f:
+            pickle.dump(
+                [
+                    np.asarray(self.dataset.labels),
+                    mu,
+                    log_var,
+                    z_sample,
+                    np.arange(len(self.dataset)),
+                ],
+                f,
+            )
         self._save_ckpt(os.path.join(out, "model_final.ckpt"), self.trainer.state)
         if self.cfg.checkpoint_backend == "orbax_async":
             from lvae_tpu.utils.checkpoint import wait_for_async_saves
@@ -464,11 +491,34 @@ class LVAEPipeline:
             self.model, vicfg, self.dataset, self.blocks, z, vae_params,
             gp_params, learning_rate=cfg.learning_rate, seed=cfg.seed,
         )
+        # resume the optimised variational state (training.py:628-634 loads
+        # mu.pth/log_var.pth from gp_model_folder; here one VIState snapshot)
+        if cfg.gp_model_folder:
+            path = os.path.join(cfg.gp_model_folder, "model_vi.ckpt")
+            state = (
+                self._load_ckpt(path, like=self.trainer.state)
+                if os.path.exists(path)
+                else None
+            )
+            if state is not None:
+                self.trainer.state = state
+                print(f"Loaded VI state (resumed from {path})")
         self.trainer.fit(cfg.epochs, log_every=1)
+        os.makedirs(cfg.save_path, exist_ok=True)
+        # final-vae_model.pth + mu.pth + log_var.pth (training.py:681-683):
+        # the whole optimised VIState in one snapshot
+        self._save_ckpt(
+            os.path.join(cfg.save_path, "model_vi.ckpt"), self.trainer.state
+        )
         if self.prediction_dataset is not None:
             trainer = self.trainer
-            mu_pred, _ = trainer.optimize_prediction_set(
+            mu_pred, lv_pred = trainer.optimize_prediction_set(
                 self.prediction_dataset, epochs=pred_epochs
+            )
+            # mu_pred.pth/log_var_pred.pth (training.py:748-749)
+            self._save_ckpt(
+                os.path.join(cfg.save_path, "vi_prediction.ckpt"),
+                {"mu_pred": mu_pred, "log_var_pred": lv_pred},
             )
             if cfg.generate_images and self.generation_dataset is not None:
                 # variational_complete_gen (predict_HealthMNIST.py:145-172):

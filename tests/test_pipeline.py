@@ -96,6 +96,13 @@ def test_full_pipeline_hensman(result_dir):
     with open(os.path.join(result_dir, "diagnostics.pkl"), "rb") as f:
         hist = pickle.load(f)
     assert len(hist) == cfg.epochs
+    # plot_values.pkl = [train_x, mu, log_var, Z, label_id] (LVAE.py:350)
+    with open(os.path.join(result_dir, "plot_values.pkl"), "rb") as f:
+        train_x, mu, log_var, z_s, label_id = pickle.load(f)
+    n = len(datasets["train"])
+    assert train_x.shape[0] == n and mu.shape == (n, cfg.latent_dim)
+    assert z_s.shape == mu.shape and np.isfinite(z_s).all()
+    np.testing.assert_array_equal(label_id, np.arange(n))
     assert os.path.exists(os.path.join(result_dir, "model_final.ckpt"))
     assert os.path.exists(os.path.join(result_dir, "recon_complete.pdf"))
     assert os.path.exists(os.path.join(result_dir, "metrics.jsonl"))

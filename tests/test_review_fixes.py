@@ -86,9 +86,22 @@ def test_vi_regime_through_pipeline_run(tmp_path):
     pipeline.run_vi(pred_epochs=5)
     assert len(pipeline.trainer.history) == cfg.epochs
     assert np.isfinite(pipeline.trainer.history[-1]["net"])
-    # and the generic entry point reaches the same flow
-    pipeline2 = LVAEPipeline(cfg, {"train": train})
+    # VI artefacts (training.py:681-683, 748-749)
+    assert os.path.exists(os.path.join(out, "model_vi.ckpt"))
+    assert os.path.exists(os.path.join(out, "vi_prediction.ckpt"))
+    # and the generic entry point reaches the same flow, resuming the saved
+    # VI state (training.py:628-634)
+    cfg2 = make_cfg(
+        out, hensman=False, natural_gradient=False,
+        variational_inference_training=True, epochs=2, latent_dim=2,
+        run_validation=False, run_tests=False, generate_images=False,
+        gp_model_folder=out,
+    )
+    pipeline2 = LVAEPipeline(cfg2, {"train": train})
     assert pipeline2.run() is None
+    resumed = np.asarray(pipeline2.trainer.history[0]["net"])
+    fresh = np.asarray(pipeline.trainer.history[0]["net"])
+    assert resumed < fresh  # started from the optimised state, not scratch
 
 
 def test_rnn_pretrain_and_encode_chunking():
