@@ -56,6 +56,9 @@ def encode_dataset(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode every sample: ``(mu [N, L], log_var [N, L])``."""
     n = data.shape[0]
+    if n == 0:
+        empty = np.zeros((0, model.latent_dim), np.float32)
+        return empty, empty.copy()
     t = getattr(model, "T", None)
     if t:
         # recurrent encoders consume whole subject sequences: chunks must be
@@ -79,6 +82,11 @@ def decode_latents(model, params, z, batch_size: int = 1000) -> np.ndarray:
     """Decode latents ``[N, L]`` to data space in fixed-size chunks."""
     z = np.asarray(z)
     n = z.shape[0]
+    if n == 0:  # one zero row through the decoder fixes the output shape
+        out = np.asarray(
+            _decode_scan(model, params, jnp.zeros((1, 1, z.shape[1]), jnp.float32))
+        )
+        return out.reshape((1,) + out.shape[2:])[:0]
     bs = min(batch_size, n)
     n_chunks = (n + bs - 1) // bs
     pad = n_chunks * bs - n

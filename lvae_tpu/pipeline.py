@@ -53,22 +53,15 @@ class LVAEPipeline:
         self.dataset = ds.get("train") or load_dataset(cfg, "train")
         if self.dataset is None:
             raise ValueError("No training dataset configured")
-        need_pred = cfg.run_tests or cfg.generate_images
         # VI also consumes a prediction cohort when one is configured
         # (training.py:688-749) but runs fine without it
-        want_pred = need_pred or cfg.variational_inference_training
+        want_pred = (
+            cfg.run_tests or cfg.generate_images
+            or cfg.variational_inference_training
+        )
         self.prediction_dataset = ds.get("prediction") or (
             load_dataset(cfg, "prediction") if want_pred else None
         )
-        if need_pred and self.prediction_dataset is None:
-            # fail at construction, not mid-training in the best-model
-            # callback: tests/generation regress on the prediction cohort
-            # (LVAE.py:395-421 encodes prediction_dataset first)
-            raise ValueError(
-                "run_tests/generate_images need a prediction cohort: pass "
-                "datasets['prediction'] or set csv_file_prediction_data/"
-                "prediction_mask_file"
-            )
         self.generation_dataset = ds.get("generation") or (
             load_dataset(cfg, "generation") if cfg.generate_images else None
         )
@@ -78,6 +71,23 @@ class LVAEPipeline:
         self.test_dataset = ds.get("test") or (
             load_dataset(cfg, "test") if cfg.run_tests else None
         )
+        will_test = cfg.run_tests and self.test_dataset is not None
+        will_gen = cfg.generate_images and self.generation_dataset is not None
+        if (
+            (will_test or will_gen)
+            and self.prediction_dataset is None
+            and not cfg.variational_inference_training
+        ):
+            # fail at construction, not mid-training in the best-model
+            # callback: tests/generation regress on the prediction cohort
+            # (LVAE.py:395-421 encodes prediction_dataset first). Flags set
+            # without the matching test/generation dataset stay no-ops, as
+            # before.
+            raise ValueError(
+                "run_tests/generate_images need a prediction cohort: pass "
+                "datasets['prediction'] or set csv_file_prediction_data/"
+                "prediction_mask_file"
+            )
         print(f"Length of dataset:  {len(self.dataset)}")
         if not len(self.dataset):
             raise ValueError("Dataset is empty")
@@ -468,6 +478,15 @@ class LVAEPipeline:
         from lvae_tpu.train.vi import VIConfig, VITrainer
 
         cfg = self.cfg
+        if cfg.run_tests or cfg.run_validation:
+            # the reference's VI branch never reaches the test/validation
+            # sections (LVAE.py:325-344 leaves `_` unbound → NameError);
+            # the intended surface is train + prediction-set inference +
+            # generation only
+            print(
+                "WARNING: run_tests/run_validation are not supported under "
+                "variational_inference_training; ignoring"
+            )
         vae_params = self._pretrained_vae_params()
         if vae_params is None:
             rows = int(getattr(self.model, "T", 0) or 0) or 2
@@ -490,6 +509,7 @@ class LVAEPipeline:
         self.trainer = VITrainer(
             self.model, vicfg, self.dataset, self.blocks, z, vae_params,
             gp_params, learning_rate=cfg.learning_rate, seed=cfg.seed,
+            dtype=self.dtype,
         )
         # resume the optimised variational state (training.py:628-634 loads
         # mu.pth/log_var.pth from gp_model_folder; here one VIState snapshot)

@@ -65,19 +65,18 @@ class VITrainer:
         self.model = model
         self.cfg = cfg
         self.dtype = dtype
-        self.data = jnp.asarray(dataset.data, dtype)
-        self.pixmask = jnp.asarray(dataset.mask, dtype)
         self.labels = np.asarray(dataset.labels)
         self.blocks = blocks
         self.z_ind = jnp.asarray(z, dtype)
         order = blocks.index.reshape(-1)
         assert blocks.mask.all(), "VI regime expects fixed-T cohorts"
         self.order = order
-        # subject-major views, gathered once (fit() re-used to re-gather the
-        # full image tensor on every epoch — one wasted O(N·D) device copy +
-        # dispatch round trip per epoch on the remote chip)
-        self.data_ordered = self.data[order]
-        self.pixmask_ordered = self.pixmask[order]
+        # subject-major views, gathered once ON HOST so only the ordered
+        # copy is ever device-resident (an earlier version re-gathered the
+        # full image tensor on every epoch, and a later one kept both the
+        # ordered and unordered copies alive — 2× HBM residency)
+        self.data_ordered = jnp.asarray(np.asarray(dataset.data)[order], dtype)
+        self.pixmask_ordered = jnp.asarray(np.asarray(dataset.mask)[order], dtype)
         self.xb = jnp.asarray(dataset.labels[order], dtype).reshape(
             blocks.num_subjects, blocks.t_max, -1
         )
@@ -162,7 +161,9 @@ class VITrainer:
 
             return jax.lax.scan(body, state, length=n_epochs)
 
-        self.step_fn = step_fn
+        # keep the single-step entry point jitted — an eager step is a
+        # seconds-long remote round trip per op on the attached chip
+        self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
         self.epochs_fn = epochs_fn
         self.history: list = []
 
@@ -192,7 +193,7 @@ class VITrainer:
 
     def optimize_prediction_set(
         self, prediction_dataset, epochs: int = 1000, learning_rate: float = 1e-3,
-        log_every: int = 100, seed: int = 1,
+        log_every: int = 100, seed: int = 1, chunk: int = 100,
     ):
         """Phase 2 (training.py:688-749): optimise (mu_pred, log_var_pred) for
         an unseen cohort against the joint DUBO with the trained cohort."""
@@ -279,10 +280,9 @@ class VITrainer:
 
         key = jax.random.key(seed)
         carry = (mu_pred, lv_pred, opt_state)
-        chunk = max(1, log_every or 100)
         done = 0
         while done < epochs:
-            n = min(chunk, epochs - done)
+            n = min(max(chunk, 1), epochs - done)
             key, sub = jax.random.split(key)
             carry, ms = pred_steps(carry, sub, n)
             ms = np.asarray(ms)

@@ -67,6 +67,29 @@ def test_prediction_dataset_guard_fails_at_construction(tmp_path):
     with pytest.raises(ValueError, match="prediction cohort"):
         LVAEPipeline(cfg, {"train": healthmnist_like(seed=0),
                            "test": healthmnist_like(p=3, seed=2)})
+    # but a run_tests flag with NO test dataset stays a no-op (the reference
+    # quietly skips the section) — construction must not demand a cohort
+    # that would never be used
+    LVAEPipeline(cfg, {"train": healthmnist_like(seed=0)})
+
+
+def test_encode_decode_empty_inputs():
+    """encode_dataset/decode_latents on empty input return correctly-shaped
+    empties instead of ZeroDivisionError."""
+    import jax
+    import jax.numpy as jnp
+
+    from lvae_tpu.evaluation.encode import decode_latents, encode_dataset
+    from lvae_tpu.models.vae import SimpleVAE
+
+    model = SimpleVAE(latent_dim=3, num_dim=20)
+    params = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
+        jax.random.key(0), jnp.zeros((2, 20))
+    )
+    mu, lv = encode_dataset(model, params, np.zeros((0, 20), np.float32))
+    assert mu.shape == (0, 3) and lv.shape == (0, 3)
+    out = decode_latents(model, params, np.zeros((0, 3), np.float32))
+    assert out.shape[0] == 0 and out.shape[-1] == 20
 
 
 def test_vi_regime_through_pipeline_run(tmp_path):
