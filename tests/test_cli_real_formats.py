@@ -148,3 +148,42 @@ def test_cli_rotatedmnist_npy_end_to_end(tmp_path):
     assert os.path.exists(results / "result_error.csv")
     err = np.loadtxt(results / "result_error.csv")
     assert err.shape == (2,) and np.all(np.isfinite(err))
+
+
+def test_cli_generate_then_pretrain_end_to_end(tmp_path):
+    """The reference's full pre-training workflow at the CLI:
+    Health_MNIST_generate.py → VAE.py (cli generate → cli pretrain).
+    Checks per-25-epoch test/plot/checkpoint cadence artefacts
+    (VAE.py:378-386)."""
+    data_dir = tmp_path / "data"
+    results = tmp_path / "results"
+    results.mkdir()
+    assert cli_main([
+        "generate", f"--destination={data_dir}", "--num_3=2", "--num_6=2",
+        "--missing=25", "--seed=0",
+    ]) == 0
+    assert os.path.exists(data_dir / "health_MNIST_data.csv")
+    flags = [
+        "pretrain",
+        f"--data_source_path={data_dir}",
+        f"--save_path={results}",
+        "--dataset_type=HealthMNIST",
+        "--csv_file_data=health_MNIST_data_masked.csv",
+        "--csv_file_label=health_MNIST_label.csv",
+        "--mask_file=mask.csv",
+        "--csv_file_test_data=health_MNIST_data_masked.csv",
+        "--csv_file_test_label=health_MNIST_label.csv",
+        "--test_mask_file=mask.csv",
+        "--type_nnet=conv",
+        "--latent_dim=3",
+        "--num_dim=1296",
+        "--epochs=25",
+        "--loss_function=nll",
+        "--run_tests=True",
+        "--dropout=0",
+    ]
+    assert cli_main(flags) == 0
+    # VAE.py:383-386 artefacts: periodic + final checkpoints, recon plot
+    assert os.path.exists(results / "model_params_vae.ckpt")
+    assert os.path.exists(results / "model_params_vae_25.ckpt")
+    assert os.path.exists(results / "recon_VAE_25.pdf")
