@@ -51,6 +51,7 @@ def mse_test_gp_approx(
     save_file: str = "result_error.csv",
     rng=None,
     verbose: bool = True,
+    mesh=None,
 ) -> TestResult:
     """Sparse-GP test evaluation (model_test.py:85-143).
 
@@ -78,6 +79,7 @@ def mse_test_gp_approx(
         spec0, spec1, gp_params.kp0, gp_params.kp1, jnp.asarray(noise),
         np.asarray(prediction_x, dtype), np.asarray(prediction_mu, dtype),
         np.asarray(test_dataset.labels, dtype), z, id_covariate, eps,
+        mesh=mesh,
     )
     recon_gp = decode_latents(model, params, z_pred.astype(dtype))
     gp_mse = _masked_mse_mean(model, params, jnp.asarray(recon_gp), data, mask)

@@ -178,11 +178,15 @@ def predict_latents(
     z,
     id_covariate: int,
     eps: float = 1e-6,
+    mesh=None,
 ) -> np.ndarray:
     """Flat-array convenience wrapper: returns ``Z_pred [N_test, L]``.
 
     Matches the reference's ``batch_predict_varying_T`` call signature shape
     (model_test.py:137): flat covariates in, flat predicted latents out.
+    With ``mesh``, the posterior runs mesh-parallel
+    (parallel.mesh.sharded_gp_predict): queries and training blocks over
+    'data', the per-GP algebra over 'latent'.
     """
     from lvae_tpu.data.blocks import scatter_to_flat
 
@@ -190,7 +194,14 @@ def predict_latents(
         train_labels, np.asarray(train_mu), test_labels, id_covariate,
         dtype=np.asarray(train_mu).dtype,
     )
-    zb = gp_predict(spec0, spec1, kp0, kp1, noise, inputs, z, eps)
+    if mesh is not None:
+        from lvae_tpu.parallel.mesh import sharded_gp_predict
+
+        zb = sharded_gp_predict(
+            spec0, spec1, kp0, kp1, noise, inputs, z, mesh, eps=eps
+        )
+    else:
+        zb = gp_predict(spec0, spec1, kp0, kp1, noise, inputs, z, eps)
     return scatter_to_flat(np.asarray(zb), te_index, te_mask, test_labels.shape[0])
 
 

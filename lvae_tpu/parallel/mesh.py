@@ -25,6 +25,7 @@ collectives. The same code runs on 1 chip (trivial mesh) or a pod slice.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -86,6 +87,51 @@ def shard_hensman_state(
     return jax.tree.map(
         lambda x: _shard_latent_leaf(x, mesh, latent_dim), state
     )
+
+
+def _put_axis_or_replicate(x, mesh: Mesh, axis: str):
+    """Shard the leading dim over ``axis`` when it divides evenly; else
+    replicate (GSPMD still partitions downstream where profitable)."""
+    n = mesh.shape[axis]
+    if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n == 0:
+        return _put(x, mesh, P(axis, *([None] * (x.ndim - 1))))
+    return _put(x, mesh, P())
+
+
+def sharded_gp_predict(
+    spec0, spec1, kp0, kp1, noise, inputs, z, mesh: Mesh, eps: float = 1e-6
+):
+    """Mesh-parallel :func:`~lvae_tpu.ops.predict.gp_predict`.
+
+    The serving counterpart of :class:`ShardedHensmanTrainer`
+    (SURVEY.md §2.2): training-cohort blocks ``xb/mask/mu_b [P, ...]`` and
+    query blocks ``Xb/Xmask/align [Pq, ...]`` shard their subject axes over
+    'data' (the H = K0zz + Σ_s K0zx_s B_s⁻¹ K0xz_s reduction lowers to psum
+    over ICI; the per-query aligned-block gather becomes a collective
+    gather); kernel hyperparameters and noise ``[L, ...]`` shard over
+    'latent' (each GP's posterior is independent). Inducing points are
+    replicated. Subject axes that don't divide the mesh stay replicated —
+    GSPMD still splits the latent-batched algebra.
+    """
+    latent_dim = noise.shape[0]
+    kp0 = jax.tree.map(lambda a: _shard_latent_leaf(a, mesh, latent_dim), kp0)
+    kp1 = jax.tree.map(lambda a: _shard_latent_leaf(a, mesh, latent_dim), kp1)
+    noise = _shard_latent_leaf(noise, mesh, latent_dim)
+    inputs = jax.tree.map(
+        lambda a: _put_axis_or_replicate(a, mesh, "data"), inputs
+    )
+    z = _put(z, mesh, P())
+    with mesh:
+        return _gp_predict_jit()(spec0, spec1, kp0, kp1, noise, inputs, z, eps)
+
+
+@functools.lru_cache(maxsize=1)
+def _gp_predict_jit():
+    # one shared jit wrapper so repeated sharded_gp_predict calls with the
+    # same shapes/placements reuse the compiled program
+    from lvae_tpu.ops import predict as pr
+
+    return jax.jit(pr.gp_predict, static_argnums=(0, 1))
 
 
 class ShardedHensmanTrainer:

@@ -415,6 +415,8 @@ class LVAEPipeline:
                 self.test_dataset, prediction_x, prediction_mu,
                 self.trainer.tdata.z, cfg.id_covariate, cfg.eps,
                 results_path=out, save_file=save_file,
+                # sharded trainer → mesh-parallel GP posterior too
+                mesh=getattr(self.trainer, "mesh", None),
             )
         spec_full, kp_full = join_specs(
             self.spec0, self.spec1, gp_params.kp0, gp_params.kp1

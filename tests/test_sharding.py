@@ -136,3 +136,129 @@ def test_compiled_program_actually_partitions():
     by_name = {jax.tree_util.keystr(p): s for p, s in out_state}
     assert by_name[".H_nat"].spec[0] == "latent"
     assert by_name[".m_nat"].spec[0] == "latent"
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (1, 2), (4, 2)])
+def test_sharded_gp_predict_matches_single_device(mesh_shape):
+    """Mesh-parallel prediction (parallel.mesh.sharded_gp_predict) equals
+    the single-device gp_predict bit-for-bit-tolerance on every mesh."""
+    import jax.numpy as jnp
+
+    from lvae_tpu.ops import kernels as kx
+    from lvae_tpu.ops.predict import build_predict_inputs, gp_predict
+    from lvae_tpu.parallel.mesh import sharded_gp_predict
+
+    rng = np.random.default_rng(0)
+    p, t, latent_dim = 8, 4, 4
+    train = tiny_cohort(p=p, t=t, seed=0)
+    test = tiny_cohort(p=4, t=t, seed=1)
+    test.labels[:, 2] += 4  # half the subjects align, half are unseen
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2], sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+        id_covariate=2,
+    )
+    gp = st.init_gp_params(spec0, spec1, latent_dim, constrain_scales=False)
+    # randomise so nothing cancels
+    gp = gp._replace(
+        kp0=gp.kp0._replace(
+            raw_scale=jnp.asarray(rng.normal(0.5, 0.2, gp.kp0.raw_scale.shape))
+        )
+    )
+    noise = jnp.asarray(rng.uniform(0.4, 0.9, (latent_dim,)))
+    mu = rng.normal(size=(len(train), latent_dim))
+    z = jnp.asarray(
+        st.init_inducing_points(train.labels, m_inducing=6, seed=0), jnp.float64
+    )
+
+    inputs, _, _ = build_predict_inputs(
+        train.labels, mu, test.labels, id_covariate=2, dtype=np.float64
+    )
+    ref = np.asarray(
+        gp_predict(spec0, spec1, gp.kp0, gp.kp1, noise, inputs, z, 1e-6)
+    )
+    mesh = make_mesh(*mesh_shape)
+    got = np.asarray(
+        sharded_gp_predict(
+            spec0, spec1, gp.kp0, gp.kp1, noise, inputs, z, mesh, eps=1e-6
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-12)
+
+
+def test_sharded_gp_predict_partitions():
+    """The compiled sharded predictor must partition the query work over
+    'data' and the per-GP algebra over 'latent', with collectives for the
+    cross-subject H reduction."""
+    import jax.numpy as jnp
+
+    from lvae_tpu.ops import kernels as kx
+    from lvae_tpu.ops.predict import build_predict_inputs
+    from lvae_tpu.parallel import mesh as pm
+
+    latent_dim = 4
+    train = tiny_cohort(p=8, t=4, seed=0)
+    test = tiny_cohort(p=4, t=4, seed=1)
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2], sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+        id_covariate=2,
+    )
+    gp = st.init_gp_params(spec0, spec1, latent_dim, constrain_scales=False)
+    noise = jnp.ones((latent_dim,), jnp.float64)
+    mu = np.zeros((len(train), latent_dim))
+    z = jnp.asarray(
+        st.init_inducing_points(train.labels, m_inducing=6, seed=0), jnp.float64
+    )
+    inputs, _, _ = build_predict_inputs(
+        train.labels, mu, test.labels, id_covariate=2, dtype=np.float64
+    )
+    mesh = make_mesh(2, 2)
+    kp0 = jax.tree.map(lambda a: pm._shard_latent_leaf(a, mesh, latent_dim), gp.kp0)
+    kp1 = jax.tree.map(lambda a: pm._shard_latent_leaf(a, mesh, latent_dim), gp.kp1)
+    noise_s = pm._shard_latent_leaf(noise, mesh, latent_dim)
+    inputs_s = jax.tree.map(
+        lambda a: pm._put_axis_or_replicate(a, mesh, "data"), inputs
+    )
+    z_s = pm._put(z, mesh, pm.P())
+    with mesh:
+        txt = (
+            pm._gp_predict_jit()
+            .lower(spec0, spec1, kp0, kp1, noise_s, inputs_s, z_s, 1e-6)
+            .compile()
+            .as_text()
+        )
+    assert txt.count("all-reduce") > 0 or txt.count("all-gather") > 0
+    # the [L, P, T, M] K0xz stack must live at its LOCAL shape
+    # (L/latent=2, P/data=4): the full [4, 8, 4, 6] buffer must not appear
+    assert "f64[2,4,4,6]" in txt, "K0xz not partitioned over both axes"
+    assert "f64[4,8,4,6]" not in txt, "found an unpartitioned K0xz buffer"
+
+
+def test_pipeline_mesh_flags_end_to_end(tmp_path):
+    """--data_mesh/--latent_mesh through the pipeline: sharded training AND
+    the mesh-parallel GP test path produce the same result_error.csv as the
+    single-device run."""
+    from lvae_tpu.pipeline import LVAEPipeline
+    from tests.test_pipeline import healthmnist_like, make_cfg
+
+    def run(out, **over):
+        cfg = make_cfg(
+            out, epochs=2, run_validation=False, generate_images=False,
+            run_tests=True, latent_dim=4, M=6, subjects_per_batch=4,
+            checkpoint_every=2, **over,
+        )
+        datasets = {
+            "train": healthmnist_like(p=8, t=5, seed=0),
+            "test": healthmnist_like(p=4, t=5, seed=2),
+            "prediction": healthmnist_like(p=8, t=5, seed=0),
+        }
+        pipeline = LVAEPipeline(cfg, datasets)
+        result = pipeline.run()
+        return pipeline, result
+
+    p_ref, r_ref = run(str(tmp_path / "single"))
+    p_mesh, r_mesh = run(str(tmp_path / "mesh"), data_mesh=2, latent_mesh=2)
+    assert type(p_mesh.trainer).__name__ == "ShardedHensmanTrainer"
+    np.testing.assert_allclose(r_mesh.vae_mse, r_ref.vae_mse, rtol=1e-4)
+    np.testing.assert_allclose(r_mesh.gp_mse, r_ref.gp_mse, rtol=1e-4)
