@@ -89,6 +89,88 @@ def shard_hensman_state(
     )
 
 
+class ShardedStandardTrainer:
+    """StandardTrainer variant whose state and cohort live on a mesh.
+
+    The full-batch regimes are the natural data-parallel fit: the whole
+    cohort's rows (subject-major ``[N=P·T, ...]``) shard over 'data' in
+    whole-subject chunks (P must divide the data axis — the ``[P, T, ...]``
+    block reshape then stays device-local, no halo), the per-GP ``[L, ...]``
+    hyperparameters over 'latent', VAE params replicated. GSPMD propagates
+    the layouts through ``full_batch_loss``: the encoder runs data-parallel,
+    the block-Cholesky stacks partition on both axes, and the loss sums
+    lower to psum over ICI.
+
+    The GPPVAE pseudo-minibatch regime is excluded: its per-subject scan
+    exists to BOUND activation memory, which data-parallel replication of
+    the scan would defeat.
+    """
+
+    def __init__(self, trainer, mesh: Mesh):
+        if getattr(trainer, "pseudo_minibatch", False):
+            raise ValueError(
+                "mini_batch=True (GPPVAE) is a memory-bounding regime; use "
+                "the plain sharded full-batch path instead"
+            )
+        self.inner = trainer
+        self.mesh = mesh
+        latent = trainer.cfg.latent_dim
+        p_subjects = trainer.block_mask.shape[0]
+        trainer.state = shard_hensman_state(trainer.state, mesh, latent)
+        n_data = mesh.shape["data"]
+        aligned = p_subjects % n_data == 0
+
+        def put_rows(x):
+            # whole-subject row chunks per device; replicate when unaligned
+            if aligned:
+                return _put(x, mesh, P("data", *([None] * (x.ndim - 1))))
+            return _put(x, mesh, P())
+
+        trainer.tdata = st.TrainData(
+            data=put_rows(trainer.tdata.data),
+            labels=put_rows(trainer.tdata.labels),
+            pixmask=put_rows(trainer.tdata.pixmask),
+            z=_put(trainer.tdata.z, mesh, P()),
+        )
+        trainer.block_mask = (
+            _put(trainer.block_mask, mesh, P("data", None))
+            if aligned
+            else _put(trainer.block_mask, mesh, P())
+        )
+
+    @property
+    def state(self):
+        return self.inner.state
+
+    @state.setter
+    def state(self, value):
+        self.inner.state = shard_hensman_state(
+            value, self.mesh, self.inner.cfg.latent_dim
+        )
+
+    @property
+    def tdata(self):
+        return self.inner.tdata
+
+    @property
+    def history(self):
+        return self.inner.history
+
+    @property
+    def cfg(self):
+        return self.inner.cfg
+
+    @property
+    def model(self):
+        return self.inner.model
+
+    def run_epoch(self):
+        return self.inner.run_epoch()
+
+    def fit(self, epochs: int, log_every: int = 1, callback=None, chunk: int = 1):
+        return self.inner.fit(epochs, log_every, callback, chunk)
+
+
 def _put_axis_or_replicate(x, mesh: Mesh, axis: str):
     """Shard the leading dim over ``axis`` when it divides evenly; else
     replicate (GSPMD still partitions downstream where profitable)."""

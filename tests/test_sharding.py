@@ -262,3 +262,91 @@ def test_pipeline_mesh_flags_end_to_end(tmp_path):
     assert type(p_mesh.trainer).__name__ == "ShardedHensmanTrainer"
     np.testing.assert_allclose(r_mesh.vae_mse, r_ref.vae_mse, rtol=1e-4)
     np.testing.assert_allclose(r_mesh.gp_mse, r_ref.gp_mse, rtol=1e-4)
+
+
+def build_standard_trainer(type_kl="GPapprox_closed", p=8, t=4, latent_dim=4):
+    import jax.numpy as jnp
+
+    from lvae_tpu.ops import kernels as kx
+    from lvae_tpu.train.standard import StandardConfig, StandardTrainer
+
+    ds = tiny_cohort(p=p, t=t, seed=0)
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2], sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+        id_covariate=2,
+    )
+    cfg = StandardConfig(
+        spec0=spec0, spec1=spec1, latent_dim=latent_dim, P_tot=p, T=t,
+        weight=0.5, loss_function="mse", type_KL=type_kl, num_samples=2,
+        constrain_scales=True, eps=1e-6, dropout=False,
+    )
+    model = mv.SimpleVAE(latent_dim=latent_dim, num_dim=20, dtype=jnp.float64)
+    z = st.init_inducing_points(ds.labels, m_inducing=6, seed=0)
+    return StandardTrainer(model, cfg, ds, blocks, z, dtype=jnp.float64)
+
+
+@pytest.mark.parametrize("type_kl", ["closed", "GPapprox", "GPapprox_closed"])
+def test_sharded_standard_matches_single_device(type_kl):
+    from lvae_tpu.parallel.mesh import ShardedStandardTrainer
+
+    ref = build_standard_trainer(type_kl)
+    ref_hist = run_epochs(ref)
+
+    trainer = build_standard_trainer(type_kl)
+    sharded = ShardedStandardTrainer(trainer, make_mesh(4, 2))
+    got_hist = run_epochs(sharded)
+
+    for a, b in zip(ref_hist, got_hist):
+        np.testing.assert_allclose(a.net, b.net, rtol=1e-8)
+        np.testing.assert_allclose(a.gp, b.gp, rtol=1e-8)
+    for x, y in zip(
+        jax.tree.leaves(ref.state.trainables.gp),
+        jax.tree.leaves(trainer.state.trainables.gp),
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-7)
+
+
+def test_sharded_standard_partitions():
+    """The compiled full-batch step must partition the [L,P,T,T] block
+    stacks over both mesh axes and insert collectives."""
+    from lvae_tpu.parallel.mesh import ShardedStandardTrainer
+
+    trainer = build_standard_trainer("GPapprox_closed")  # L=4, P=8, T=4
+    ShardedStandardTrainer(trainer, make_mesh(4, 2))
+    txt = (
+        trainer.step_fn.lower(trainer.state, trainer.tdata, trainer.block_mask)
+        .compile()
+        .as_text()
+    )
+    assert txt.count("all-reduce") > 0
+    # B stacks at local shape [L/2, P/4, T, T]
+    assert "f64[2,2,4,4]" in txt, "block stacks not partitioned on both axes"
+    assert "f64[4,8,4,4]" not in txt, "found an unpartitioned [L,P,T,T] buffer"
+
+
+def test_sharded_standard_rejects_gppvae():
+    from lvae_tpu.parallel.mesh import ShardedStandardTrainer
+
+    trainer = build_standard_trainer("GPapprox_closed")
+    trainer.pseudo_minibatch = True
+    with pytest.raises(ValueError, match="mini_batch"):
+        ShardedStandardTrainer(trainer, make_mesh(2, 1))
+
+
+def test_pipeline_mesh_flags_standard_regime(tmp_path):
+    """--data_mesh with hensman=False routes through ShardedStandardTrainer."""
+    from lvae_tpu.pipeline import LVAEPipeline
+    from tests.test_pipeline import healthmnist_like, make_cfg
+
+    cfg = make_cfg(
+        str(tmp_path), hensman=False, natural_gradient=False, epochs=2,
+        run_validation=False, generate_images=False, run_tests=False,
+        latent_dim=4, M=6, data_mesh=2, latent_mesh=2,
+    )
+    pipeline = LVAEPipeline(cfg, {"train": healthmnist_like(p=8, t=5, seed=0)})
+    pipeline.build_trainer()
+    assert type(pipeline.trainer).__name__ == "ShardedStandardTrainer"
+    hist = pipeline.train()
+    assert np.isfinite(hist[-1].net)
