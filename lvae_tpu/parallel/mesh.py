@@ -74,8 +74,14 @@ def shard_train_data(tdata: st.TrainData, mesh: Mesh) -> st.TrainData:
 
 
 def _shard_latent_leaf(x, mesh: Mesh, latent_dim: int):
-    """Shard a leaf on its leading L axis when it has one; else replicate."""
-    if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == latent_dim:
+    """Shard a leaf on its leading L axis when it has one (and L divides the
+    mesh axis); else replicate."""
+    if (
+        hasattr(x, "ndim")
+        and x.ndim >= 1
+        and x.shape[0] == latent_dim
+        and latent_dim % mesh.shape["latent"] == 0
+    ):
         return _put(x, mesh, P("latent", *([None] * (x.ndim - 1))))
     return _put(x, mesh, P())
 
@@ -169,6 +175,57 @@ class ShardedStandardTrainer:
 
     def fit(self, epochs: int, log_every: int = 1, callback=None, chunk: int = 1):
         return self.inner.fit(epochs, log_every, callback, chunk)
+
+
+class ShardedVITrainer:
+    """VITrainer variant whose state and cohort live on a mesh.
+
+    The amortisation-free VI regime is full-batch over the cohort, so it
+    shards like :class:`ShardedStandardTrainer`: the free per-point
+    variational moments ``mu/log_var [N, L]`` and the subject-major data
+    tensors shard their row axis over 'data' in whole-subject chunks; GP
+    hyperparameters ``[L, ...]`` over 'latent'; decoder params replicated.
+    Phase 2 (prediction-set optimisation) stays single-device — it builds a
+    new joint cohort whose blocks need not align with the mesh.
+    """
+
+    def __init__(self, trainer, mesh: Mesh):
+        self.inner = trainer
+        self.mesh = mesh
+        latent = trainer.cfg.latent_dim
+        p_subjects = trainer.block_mask.shape[0]
+        aligned = p_subjects % mesh.shape["data"] == 0
+
+        n_rows = trainer.data_ordered.shape[0]  # P·T subject-major rows
+
+        def place(x):
+            # rows over 'data' (whole-subject chunks), [L,...] over 'latent',
+            # everything else replicated; optimizer moments mirror their
+            # parameters' shapes, so they land on the same axes (donation-
+            # and layout-consistent)
+            if not hasattr(x, "ndim") or x.ndim == 0:
+                return _put(x, mesh, P())
+            if aligned and x.shape[0] in (n_rows, p_subjects):
+                return _put(x, mesh, P("data", *([None] * (x.ndim - 1))))
+            return _shard_latent_leaf(x, mesh, latent)
+
+        trainer.data_ordered = place(trainer.data_ordered)
+        trainer.pixmask_ordered = place(trainer.pixmask_ordered)
+        trainer.xb = place(trainer.xb)
+        trainer.block_mask = place(trainer.block_mask)
+        trainer.z_ind = _put(trainer.z_ind, mesh, P())
+        trainer.state = jax.tree.map(place, trainer.state)
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+    @property
+    def state(self):
+        return self.inner.state
+
+    @state.setter
+    def state(self, value):
+        self.inner.state = value
 
 
 def _put_axis_or_replicate(x, mesh: Mesh, axis: str):

@@ -521,6 +521,11 @@ class LVAEPipeline:
             gp_params, learning_rate=cfg.learning_rate, seed=cfg.seed,
             dtype=self.dtype,
         )
+        if cfg.data_mesh * cfg.latent_mesh > 1:
+            from lvae_tpu.parallel.mesh import ShardedVITrainer, make_mesh
+
+            mesh = make_mesh(data=cfg.data_mesh, latent=cfg.latent_mesh)
+            self.trainer = ShardedVITrainer(self.trainer, mesh)
         # resume the optimised variational state (training.py:628-634 loads
         # mu.pth/log_var.pth from gp_model_folder; here one VIState snapshot)
         if cfg.gp_model_folder:

@@ -350,3 +350,75 @@ def test_pipeline_mesh_flags_standard_regime(tmp_path):
     assert type(pipeline.trainer).__name__ == "ShardedStandardTrainer"
     hist = pipeline.train()
     assert np.isfinite(hist[-1].net)
+
+
+def test_sharded_vi_matches_single_device():
+    """ShardedVITrainer == single-device VITrainer (f64, 4x2 mesh), through
+    both the training phase and the prediction-set phase."""
+    import jax.numpy as jnp
+
+    from lvae_tpu.ops import kernels as kx
+    from lvae_tpu.parallel.mesh import ShardedVITrainer
+    from lvae_tpu.train.vi import VIConfig, VITrainer
+
+    def build():
+        ds = tiny_cohort(p=8, t=4, seed=0)
+        blocks = build_subject_blocks(ds.labels, id_covariate=2)
+        spec0, spec1 = kx.split_kernel_spec(
+            cat_kernel=[2], sqexp_kernel=[0],
+            cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+            id_covariate=2,
+        )
+        model = mv.SimpleVAE(latent_dim=3, num_dim=20, dtype=jnp.float64)
+        params = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
+            jax.random.key(0), jnp.asarray(ds.data[:2], jnp.float64)
+        )
+        gp = st.init_gp_params(
+            spec0, spec1, 3, constrain_scales=True, dtype=jnp.float64
+        )
+        cfg = VIConfig(
+            spec0=spec0, spec1=spec1, latent_dim=3, weight=0.5,
+            loss_function="mse", constrain_scales=True, eps=1e-6,
+        )
+        z = st.init_inducing_points(ds.labels, m_inducing=6, seed=0)
+        return VITrainer(
+            model, cfg, ds, blocks, z, params, gp, dtype=jnp.float64
+        )
+
+    ref = build()
+    ref.fit(4, log_every=0, chunk=2)
+
+    trainer = build()
+    sharded = ShardedVITrainer(trainer, make_mesh(4, 2))
+    sharded.fit(4, log_every=0, chunk=2)
+
+    for a, b in zip(ref.history, trainer.history):
+        np.testing.assert_allclose(a["net"], b["net"], rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(ref.state.mu), np.asarray(trainer.state.mu), rtol=1e-7
+    )
+
+    # phase 2 on the sharded state
+    pred = tiny_cohort(p=4, t=4, seed=5)
+    pred.labels[:, 2] += 100
+    mu_ref, _ = ref.optimize_prediction_set(pred, epochs=6, log_every=0)
+    mu_got, _ = sharded.optimize_prediction_set(pred, epochs=6, log_every=0)
+    np.testing.assert_allclose(mu_got, mu_ref, rtol=1e-7, atol=1e-10)
+
+
+def test_pipeline_mesh_flags_vi_regime(tmp_path):
+    """--data_mesh with variational_inference_training routes through
+    ShardedVITrainer inside run_vi()."""
+    from lvae_tpu.pipeline import LVAEPipeline
+    from tests.test_pipeline import healthmnist_like, make_cfg
+
+    cfg = make_cfg(
+        str(tmp_path), hensman=False, natural_gradient=False,
+        variational_inference_training=True, epochs=3, latent_dim=2,
+        run_validation=False, run_tests=False, generate_images=False,
+        data_mesh=2, latent_mesh=2,
+    )
+    pipeline = LVAEPipeline(cfg, {"train": healthmnist_like(p=4, t=5, seed=0)})
+    pipeline.run_vi(pred_epochs=2)
+    assert type(pipeline.trainer).__name__ == "ShardedVITrainer"
+    assert np.isfinite(pipeline.trainer.history[-1]["net"])
