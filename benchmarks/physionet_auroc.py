@@ -53,16 +53,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# persistent compilation cache: repeated runs skip recompiles
-_CACHE = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-try:
-    import jax as _jax
+from lvae_tpu.utils.compile_cache import enable_compile_cache
 
-    os.makedirs(_CACHE, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _CACHE)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # noqa: BLE001
-    pass
+enable_compile_cache()
 
 T_MIN, T_MAX, D_ATTR, D_LAT = 8, 12, 35, 3
 

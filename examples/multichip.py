@@ -23,16 +23,17 @@ def main():
     import jax
 
     n = len(jax.devices())
+    if n < 2:
+        raise SystemExit(
+            "multichip example needs >=2 devices; run with "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=8 "
+            "JAX_PLATFORMS=cpu for virtual devices"
+        )
     latent_axis = 2 if n % 2 == 0 else 1
     data_axis = n // latent_axis
 
-    from lvae_tpu.ops import kernels as kx
     from lvae_tpu.ops.predict import build_predict_inputs
-    from lvae_tpu.parallel.mesh import (
-        ShardedHensmanTrainer,
-        make_mesh,
-        sharded_gp_predict,
-    )
+    from lvae_tpu.parallel.mesh import ShardedHensmanTrainer, sharded_gp_predict
     from lvae_tpu.pipeline import LVAEPipeline
     from tests.test_pipeline import healthmnist_like, make_cfg
 

@@ -19,6 +19,7 @@ per-test-subject restriction becomes a gather of the aligned training block.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -201,8 +202,20 @@ def predict_latents(
             spec0, spec1, kp0, kp1, noise, inputs, z, mesh, eps=eps
         )
     else:
-        zb = gp_predict(spec0, spec1, kp0, kp1, noise, inputs, z, eps)
+        zb = gp_predict_jit()(spec0, spec1, kp0, kp1, noise, inputs, z, eps)
     return scatter_to_flat(np.asarray(zb), te_index, te_mask, test_labels.shape[0])
+
+
+@functools.lru_cache(maxsize=1)
+def gp_predict_jit():
+    """The shared jitted :func:`gp_predict` (specs static).
+
+    Every prediction consumer routes through this one wrapper: eager
+    dispatch of the predictor's kernel/Cholesky/einsum chain costs one
+    remote round trip PER OP on the attached chip, and a shared cache means
+    the test/generation/serving paths reuse a single compiled program per
+    shape/placement."""
+    return jax.jit(gp_predict, static_argnums=(0, 1))
 
 
 # ---------------------------------------------------------------------------

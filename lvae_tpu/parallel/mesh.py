@@ -25,7 +25,6 @@ collectives. The same code runs on 1 chip (trivial mesh) or a pod slice.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -95,7 +94,47 @@ def shard_hensman_state(
     )
 
 
-class ShardedStandardTrainer:
+class _ShardedTrainer:
+    """Shared facade for the mesh trainer wrappers.
+
+    Attribute access delegates to the inner trainer; ``state`` assignment
+    re-places the new leaves on the mesh (checkpoint resume, pre-trained
+    VAE loads and auto-recovery all write through it); ``fit`` hands THIS
+    wrapper to callbacks so their state writes re-shard too (the pipeline's
+    recovery callback would otherwise silently drop the mesh placement).
+    """
+
+    def __init__(self, trainer, mesh: Mesh):
+        self.inner = trainer
+        self.mesh = mesh
+
+    def __getattr__(self, name):
+        if name == "inner":  # not set yet during __init__
+            raise AttributeError(name)
+        return getattr(self.inner, name)
+
+    def _reshard_state(self, value):
+        return shard_hensman_state(value, self.mesh, self.inner.cfg.latent_dim)
+
+    @property
+    def state(self):
+        return self.inner.state
+
+    @state.setter
+    def state(self, value):
+        self.inner.state = self._reshard_state(value)
+
+    def fit(self, epochs: int, log_every: int = 1, callback=None, chunk=None):
+        cb = (
+            None
+            if callback is None
+            else (lambda _inner, epoch, m: callback(self, epoch, m))
+        )
+        kwargs = {} if chunk is None else {"chunk": chunk}
+        return self.inner.fit(epochs, log_every, cb, **kwargs)
+
+
+class ShardedStandardTrainer(_ShardedTrainer):
     """StandardTrainer variant whose state and cohort live on a mesh.
 
     The full-batch regimes are the natural data-parallel fit: the whole
@@ -118,8 +157,7 @@ class ShardedStandardTrainer:
                 "mini_batch=True (GPPVAE) is a memory-bounding regime; use "
                 "the plain sharded full-batch path instead"
             )
-        self.inner = trainer
-        self.mesh = mesh
+        super().__init__(trainer, mesh)
         latent = trainer.cfg.latent_dim
         p_subjects = trainer.block_mask.shape[0]
         trainer.state = shard_hensman_state(trainer.state, mesh, latent)
@@ -144,40 +182,8 @@ class ShardedStandardTrainer:
             else _put(trainer.block_mask, mesh, P())
         )
 
-    @property
-    def state(self):
-        return self.inner.state
 
-    @state.setter
-    def state(self, value):
-        self.inner.state = shard_hensman_state(
-            value, self.mesh, self.inner.cfg.latent_dim
-        )
-
-    @property
-    def tdata(self):
-        return self.inner.tdata
-
-    @property
-    def history(self):
-        return self.inner.history
-
-    @property
-    def cfg(self):
-        return self.inner.cfg
-
-    @property
-    def model(self):
-        return self.inner.model
-
-    def run_epoch(self):
-        return self.inner.run_epoch()
-
-    def fit(self, epochs: int, log_every: int = 1, callback=None, chunk: int = 1):
-        return self.inner.fit(epochs, log_every, callback, chunk)
-
-
-class ShardedVITrainer:
+class ShardedVITrainer(_ShardedTrainer):
     """VITrainer variant whose state and cohort live on a mesh.
 
     The amortisation-free VI regime is full-batch over the cohort, so it
@@ -190,8 +196,7 @@ class ShardedVITrainer:
     """
 
     def __init__(self, trainer, mesh: Mesh):
-        self.inner = trainer
-        self.mesh = mesh
+        super().__init__(trainer, mesh)
         latent = trainer.cfg.latent_dim
         p_subjects = trainer.block_mask.shape[0]
         aligned = p_subjects % mesh.shape["data"] == 0
@@ -214,18 +219,17 @@ class ShardedVITrainer:
         trainer.xb = place(trainer.xb)
         trainer.block_mask = place(trainer.block_mask)
         trainer.z_ind = _put(trainer.z_ind, mesh, P())
+        self._place = place
         trainer.state = jax.tree.map(place, trainer.state)
 
-    def __getattr__(self, name):
-        return getattr(self.inner, name)
+    def _reshard_state(self, value):
+        # VI state mixes row-sharded moments with latent-sharded GP leaves;
+        # re-apply the same placement rule (resume/recovery writes)
+        return jax.tree.map(self._place, value)
 
-    @property
-    def state(self):
-        return self.inner.state
-
-    @state.setter
-    def state(self, value):
-        self.inner.state = value
+    def fit(self, epochs: int, log_every: int = 100, chunk: int = 100):
+        # VITrainer.fit has no callback parameter
+        return self.inner.fit(epochs, log_every=log_every, chunk=chunk)
 
 
 def _put_axis_or_replicate(x, mesh: Mesh, axis: str):
@@ -264,16 +268,15 @@ def sharded_gp_predict(
         return _gp_predict_jit()(spec0, spec1, kp0, kp1, noise, inputs, z, eps)
 
 
-@functools.lru_cache(maxsize=1)
 def _gp_predict_jit():
-    # one shared jit wrapper so repeated sharded_gp_predict calls with the
-    # same shapes/placements reuse the compiled program
-    from lvae_tpu.ops import predict as pr
+    # the shared jitted predictor (ops.predict owns the cache so the
+    # single-device path reuses the exact same wrapper)
+    from lvae_tpu.ops.predict import gp_predict_jit
 
-    return jax.jit(pr.gp_predict, static_argnums=(0, 1))
+    return gp_predict_jit()
 
 
-class ShardedHensmanTrainer:
+class ShardedHensmanTrainer(_ShardedTrainer):
     """HensmanTrainer variant whose state lives on a mesh.
 
     Drop-in: same multi-epoch program (train/hensman.py); only array
@@ -284,8 +287,7 @@ class ShardedHensmanTrainer:
     """
 
     def __init__(self, trainer, mesh: Mesh):
-        self.inner = trainer
-        self.mesh = mesh
+        super().__init__(trainer, mesh)
         latent = trainer.cfg.latent_dim
         trainer.tdata = shard_train_data(trainer.tdata, mesh)
         trainer.state = shard_hensman_state(trainer.state, mesh, latent)
@@ -301,41 +303,3 @@ class ShardedHensmanTrainer:
             trainer.model, trainer.cfg, trainer.optimizer, trainer.table,
             trainer.subjects_per_batch, mesh=mesh,
         )
-
-    # Full trainer facade: the pipeline holds this wrapper as its trainer
-    # (pipeline.py:build_trainer), so expose everything it touches —
-    # state (get/set for resume + pre-trained VAE load), tdata, history.
-    @property
-    def state(self):
-        return self.inner.state
-
-    @state.setter
-    def state(self, value):
-        self.inner.state = shard_hensman_state(
-            value, self.mesh, self.inner.cfg.latent_dim
-        )
-
-    @property
-    def tdata(self):
-        return self.inner.tdata
-
-    @property
-    def history(self):
-        return self.inner.history
-
-    @property
-    def cfg(self):
-        return self.inner.cfg
-
-    @property
-    def model(self):
-        return self.inner.model
-
-    def run_epochs(self, n: int):
-        return self.inner.run_epochs(n)
-
-    def run_epoch(self):
-        return self.inner.run_epoch()
-
-    def fit(self, epochs: int, log_every: int = 1, callback=None, chunk: int = 25):
-        return self.inner.fit(epochs, log_every, callback, chunk)

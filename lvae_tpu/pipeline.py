@@ -207,14 +207,21 @@ class LVAEPipeline:
                 learning_rate=cfg.learning_rate, seed=cfg.seed, dtype=self.dtype,
                 pseudo_minibatch=cfg.mini_batch,
             )
-            if cfg.data_mesh * cfg.latent_mesh > 1 and not cfg.mini_batch:
-                from lvae_tpu.parallel.mesh import (
-                    ShardedStandardTrainer,
-                    make_mesh,
-                )
+            if cfg.data_mesh * cfg.latent_mesh > 1:
+                if cfg.mini_batch:
+                    print(
+                        "WARNING: --data_mesh/--latent_mesh are ignored with "
+                        "mini_batch=True (the GPPVAE pseudo-minibatch regime "
+                        "exists to bound memory); training single-device"
+                    )
+                else:
+                    from lvae_tpu.parallel.mesh import (
+                        ShardedStandardTrainer,
+                        make_mesh,
+                    )
 
-                mesh = make_mesh(data=cfg.data_mesh, latent=cfg.latent_mesh)
-                self.trainer = ShardedStandardTrainer(self.trainer, mesh)
+                    mesh = make_mesh(data=cfg.data_mesh, latent=cfg.latent_mesh)
+                    self.trainer = ShardedStandardTrainer(self.trainer, mesh)
         self._load_pretrained_vae(self.trainer)
         self._try_resume(self.trainer)
         return self.trainer

@@ -422,3 +422,68 @@ def test_pipeline_mesh_flags_vi_regime(tmp_path):
     pipeline.run_vi(pred_epochs=2)
     assert type(pipeline.trainer).__name__ == "ShardedVITrainer"
     assert np.isfinite(pipeline.trainer.history[-1]["net"])
+
+
+def test_sharded_wrappers_reshard_on_state_writes():
+    """fit() hands the WRAPPER to callbacks, and state assignment re-places
+    leaves on the mesh — so checkpoint-resume and auto-recovery writes
+    (numpy leaves) keep the requested parallelism instead of silently
+    dropping it."""
+    from lvae_tpu.parallel.mesh import ShardedStandardTrainer
+
+    trainer = build_standard_trainer("GPapprox_closed")
+    sharded = ShardedStandardTrainer(trainer, make_mesh(4, 2))
+    seen = []
+    sharded.fit(1, log_every=0, callback=lambda t, e, m: seen.append(t))
+    assert seen and seen[0] is sharded  # wrapper, not the inner trainer
+
+    # a state write with host (numpy) leaves comes back mesh-placed
+    host_state = jax.tree.map(
+        lambda a: np.asarray(a)
+        if not jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key)
+        else a,
+        sharded.state,
+    )
+    sharded.state = host_state
+    gp_leaf = sharded.state.trainables.gp.kp0.raw_scale
+    assert gp_leaf.sharding.spec[0] == "latent"
+
+
+def test_sharded_vi_resume_reshards(tmp_path):
+    """run_vi's gp_model_folder resume writes through the VI wrapper's
+    setter and the resumed state stays mesh-placed."""
+    import jax.numpy as jnp
+
+    from lvae_tpu.parallel.mesh import ShardedVITrainer
+    from lvae_tpu.ops import kernels as kx
+    from lvae_tpu.train.vi import VIConfig, VITrainer
+
+    ds = tiny_cohort(p=8, t=4, seed=0)
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2], sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+        id_covariate=2,
+    )
+    model = mv.SimpleVAE(latent_dim=4, num_dim=20)
+    params = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
+        jax.random.key(0), jnp.asarray(ds.data[:2])
+    )
+    gp = st.init_gp_params(spec0, spec1, 4, constrain_scales=True)
+    cfg = VIConfig(spec0=spec0, spec1=spec1, latent_dim=4, weight=0.5,
+                   loss_function="mse", constrain_scales=True, eps=1e-6)
+    z = st.init_inducing_points(ds.labels, m_inducing=6, seed=0)
+    trainer = VITrainer(model, cfg, ds, blocks, z, params, gp)
+    sharded = ShardedVITrainer(trainer, make_mesh(4, 2))
+
+    host_state = jax.tree.map(
+        lambda a: np.asarray(a)
+        if not jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key)
+        else a,
+        sharded.state,
+    )
+    sharded.state = host_state
+    assert sharded.state.mu.sharding.spec[0] == "data"
+    assert sharded.state.gp.kp0.raw_scale.sharding.spec[0] == "latent"
+    sharded.fit(1, log_every=0)  # still trains after the resharded write
+    assert np.isfinite(trainer.history[-1]["net"])
