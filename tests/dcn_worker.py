@@ -76,13 +76,41 @@ def build_trainer():
     )
 
 
+def build_standard_trainer():
+    from lvae_tpu.data.blocks import build_subject_blocks
+    from lvae_tpu.models import vae as mv
+    from lvae_tpu.ops import kernels as kx
+    from lvae_tpu.train import state as st
+    from lvae_tpu.train.standard import StandardConfig, StandardTrainer
+
+    ds = tiny_cohort()
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2],
+        sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+        id_covariate=2,
+    )
+    cfg = StandardConfig(
+        spec0=spec0, spec1=spec1, latent_dim=4, P_tot=8, T=4,
+        weight=0.5, loss_function="mse", type_KL="GPapprox_closed",
+        num_samples=1, constrain_scales=True, eps=1e-6, dropout=False,
+    )
+    model = mv.SimpleVAE(latent_dim=4, num_dim=20, dtype=jnp.float64)
+    z = st.init_inducing_points(ds.labels, m_inducing=6, seed=0)
+    return StandardTrainer(model, cfg, ds, blocks, z, dtype=jnp.float64)
+
+
 def main():
     port, pid, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
     from lvae_tpu.parallel.distributed import (
         initialize_distributed,
         make_global_mesh,
     )
-    from lvae_tpu.parallel.mesh import ShardedHensmanTrainer
+    from lvae_tpu.parallel.mesh import (
+        ShardedHensmanTrainer,
+        ShardedStandardTrainer,
+    )
 
     n = initialize_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
     assert n == 8, f"expected 8 global devices, got {n}"
@@ -95,8 +123,14 @@ def main():
     ShardedHensmanTrainer(trainer, mesh)
     ms = trainer.run_epochs(3)
     out = [{"net": m.net, "kld": m.kld, "recon": m.recon} for m in ms]
+
+    # the full-batch regime over the same cross-process mesh
+    std = build_standard_trainer()
+    ShardedStandardTrainer(std, mesh)
+    std_out = [std.run_epoch()._asdict() for _ in range(3)]
+
     with open(out_path, "w") as f:
-        json.dump(out, f)
+        json.dump({"hensman": out, "standard": std_out}, f)
     print(f"process {pid} done: {out[-1]}")
 
 

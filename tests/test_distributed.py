@@ -55,12 +55,18 @@ def test_two_process_global_mesh_matches_single_process(tmp_path):
         got1 = json.load(f)
     assert got0 == got1, "processes disagree on metrics"
 
-    # single-process oracle: same trainer without the distributed runtime
-    from tests.dcn_worker import build_trainer
+    # single-process oracles: same trainers without the distributed runtime
+    from tests.dcn_worker import build_standard_trainer, build_trainer
 
     trainer = build_trainer()
     ref = trainer.run_epochs(3)
-    for a, b in zip(ref, got0):
+    for a, b in zip(ref, got0["hensman"]):
         np.testing.assert_allclose(a.net, b["net"], rtol=1e-8)
         np.testing.assert_allclose(a.kld, b["kld"], rtol=1e-8)
         np.testing.assert_allclose(a.recon, b["recon"], rtol=1e-8)
+
+    std = build_standard_trainer()
+    std_ref = [std.run_epoch() for _ in range(3)]
+    for a, b in zip(std_ref, got0["standard"]):
+        np.testing.assert_allclose(a.net, b["net"], rtol=1e-8)
+        np.testing.assert_allclose(a.gp, b["gp"], rtol=1e-8)
