@@ -46,6 +46,7 @@ class LVAEPredictor(NamedTuple):
     basis_labels: np.ndarray  # training/reference cohort covariates [N, Q]
     basis_mu: np.ndarray  # their encoded latent means [N, L]
     eps: float = 1e-5
+    mesh: object = None  # device mesh → GP posterior runs mesh-parallel
 
     # ------------------------------------------------------------- factories
     @classmethod
@@ -65,6 +66,9 @@ class LVAEPredictor(NamedTuple):
             basis_labels=np.asarray(pipeline.dataset.labels),
             basis_mu=mu,
             eps=pipeline.cfg.eps,
+            # a sharded trainer's mesh carries over to serving-side GP
+            # prediction (parallel.mesh.sharded_gp_predict)
+            mesh=getattr(pipeline.trainer, "mesh", None),
         )
 
     @classmethod
@@ -124,6 +128,7 @@ class LVAEPredictor(NamedTuple):
             self.spec0, self.spec1, self.gp_params.kp0, self.gp_params.kp1,
             self.noise, basis_labels, basis_mu,
             np.asarray(query_labels), self.z, self.id_covariate, self.eps,
+            mesh=self.mesh,
         )
 
     def predict_trajectory(

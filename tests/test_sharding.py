@@ -487,3 +487,33 @@ def test_sharded_vi_resume_reshards(tmp_path):
     assert sharded.state.gp.kp0.raw_scale.sharding.spec[0] == "latent"
     sharded.fit(1, log_every=0)  # still trains after the resharded write
     assert np.isfinite(trainer.history[-1]["net"])
+
+
+def test_predictor_from_sharded_pipeline_uses_mesh(tmp_path):
+    """LVAEPredictor built from a sharded pipeline carries the mesh and the
+    serving-side GP prediction runs mesh-parallel, matching the
+    single-device predictor."""
+    from lvae_tpu.inference import LVAEPredictor
+    from lvae_tpu.pipeline import LVAEPipeline
+    from tests.test_pipeline import healthmnist_like, make_cfg
+
+    def run(out, **over):
+        cfg = make_cfg(
+            out, epochs=2, run_validation=False, generate_images=False,
+            run_tests=False, latent_dim=4, M=6, subjects_per_batch=4,
+            **over,
+        )
+        pipeline = LVAEPipeline(cfg, {"train": healthmnist_like(p=8, t=5, seed=0)})
+        pipeline.build_trainer()
+        pipeline.train()
+        return LVAEPredictor.from_pipeline(pipeline)
+
+    ref = run(str(tmp_path / "single"))
+    pred = run(str(tmp_path / "mesh"), data_mesh=2, latent_mesh=2)
+    assert ref.mesh is None and pred.mesh is not None
+
+    new = healthmnist_like(p=1, t=5, seed=9)
+    new.labels[:, 2] = 777.0
+    a = ref.predict_trajectory(new.data[:3], new.labels[:3], new.labels[3:])
+    b = pred.predict_trajectory(new.data[:3], new.labels[:3], new.labels[3:])
+    assert a.shape == b.shape and np.isfinite(b).all()
