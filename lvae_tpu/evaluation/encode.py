@@ -73,6 +73,11 @@ def encode_dataset(
     idx = _chunk_indices(n, batch_size)
     mus, lvs = _encode_scan(model, params, jnp.asarray(data), jnp.asarray(idx))
     latent = mus.shape[-1]
+    # GP moments stay ≥ f32 (CLAUDE.md numerics invariant): a bf16 compute
+    # model must not leak bf16 into the posterior algebra downstream
+    # (jnp.linalg.cholesky rejects bf16; the jitter/NG math needs f32)
+    if mus.dtype == jnp.bfloat16:
+        mus, lvs = mus.astype(jnp.float32), lvs.astype(jnp.float32)
     mu = np.asarray(mus).reshape(-1, latent)[:n]
     lv = np.asarray(lvs).reshape(-1, latent)[:n]
     return mu, lv

@@ -45,7 +45,10 @@ class LVAEPredictor(NamedTuple):
     id_covariate: int
     basis_labels: np.ndarray  # training/reference cohort covariates [N, Q]
     basis_mu: np.ndarray  # their encoded latent means [N, L]
-    eps: float = 1e-5
+    # default matches config.eps / the ops-layer defaults so hand-built
+    # predictors apply the SAME K0zz jitter training used (train/serve
+    # bit-consistency; from_pipeline forwards cfg.eps regardless)
+    eps: float = 1e-6
     mesh: object = None  # device mesh → GP posterior runs mesh-parallel
 
     # ------------------------------------------------------------- factories
@@ -180,6 +183,14 @@ class CompiledServing:
         model = predictor.model
         params = predictor.vae_params
         latent = predictor.basis_mu.shape[1]
+        # recurrent encoders consume whole subject sequences: the fixed
+        # batch must be a multiple of T (zero tail padding then forms
+        # complete fake subjects, as in evaluation.encode.encode_dataset)
+        self.seq_len = int(getattr(model, "T", 0) or 0)
+        if self.seq_len:
+            self.batch_size = max(
+                self.seq_len, self.batch_size // self.seq_len * self.seq_len
+            )
         if getattr(model, "is_conv", False):
             hw = int(np.sqrt(model.num_dim))
             in_shape = (self.batch_size, hw, hw, 1)
@@ -282,6 +293,14 @@ class CompiledServing:
         )
         return np.asarray(out)
 
+    def _check_seq_rows(self, n: int) -> None:
+        if self.seq_len and n % self.seq_len:
+            raise ValueError(
+                f"RNN serving needs subject-major requests with N divisible "
+                f"by T={self.seq_len}; got N={n} (a partial subject would be "
+                f"zero-padded into its own recurrence)"
+            )
+
     def _chunked(self, fn, x: np.ndarray) -> np.ndarray:
         n, b = x.shape[0], self.batch_size
         outs = []
@@ -299,6 +318,7 @@ class CompiledServing:
 
     def encode(self, data) -> np.ndarray:
         data = np.asarray(data, np.float32).reshape((-1,) + self._in_shape[1:])
+        self._check_seq_rows(data.shape[0])
         return self._chunked(
             lambda params, chunk: self._encode(params, chunk)[0], data
         )
@@ -308,6 +328,7 @@ class CompiledServing:
 
     def impute(self, data, mask=None) -> np.ndarray:
         data = np.asarray(data, np.float32).reshape((-1,) + self._in_shape[1:])
+        self._check_seq_rows(data.shape[0])
         recon = self._chunked(self._recon, data)
         if mask is None:
             return recon

@@ -47,8 +47,14 @@ class RNNVAE(nn.Module):
         else:
             raise ValueError(f"Unknown type_rnn {self.type_rnn!r}")
         self.rnn_fwd = nn.RNN(cell(features=self.hidden_dim, dtype=self.dtype))
+        # keep_order=True re-flips the reversed pass's output back to forward
+        # time order so position t sums the forward state over [0..t] with
+        # the backward state over [t..T-1] — without it the sum misaligns
+        # (position t would see the backward state over [T-1-t..T-1]) and the
+        # middle of the sequence is invisible to early timepoints
         self.rnn_bwd = nn.RNN(
-            cell(features=self.hidden_dim, dtype=self.dtype), reverse=True
+            cell(features=self.hidden_dim, dtype=self.dtype),
+            reverse=True, keep_order=True,
         )
         self.embed = nn.Dense(self.hidden_dim, dtype=self.dtype)
         self.fc_mu = nn.Dense(self.latent_dim, dtype=self.dtype)

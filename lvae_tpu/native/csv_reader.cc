@@ -69,7 +69,15 @@ const char* skip_rows(const char* p, const char* end, int n) {
 double parse_field(const char** pp, const char* end) {
   const char* p = *pp;
   while (p < end && (*p == ' ' || *p == '\t')) ++p;
-  if (p < end && (*p == 'n' || *p == 'N')) {  // nan / NaN
+  // Empty field (",," / trailing ",\n") → NaN. Must be checked BEFORE
+  // strtod: its leading-whitespace skip also crosses '\n'/'\r', so an empty
+  // end-of-line field would silently consume the NEXT row's first number
+  // and shift every subsequent value.
+  if (p >= end || *p == ',' || *p == '\n' || *p == '\r') {
+    *pp = p;
+    return NAN;
+  }
+  if (*p == 'n' || *p == 'N') {  // nan / NaN
     const char* q = p;
     while (q < end && *q != ',' && *q != '\n' && *q != '\r') ++q;
     *pp = q;
@@ -77,7 +85,7 @@ double parse_field(const char** pp, const char* end) {
   }
   char* out = nullptr;
   double v = strtod(p, &out);
-  if (out == p) {  // empty / unparsable field → NaN
+  if (out == p) {  // unparsable field → NaN
     const char* q = p;
     while (q < end && *q != ',' && *q != '\n' && *q != '\r') ++q;
     *pp = q;

@@ -362,6 +362,23 @@ def add_adaptive_jitter(kzz: jax.Array, eps: float) -> jax.Array:
     return kzz + eps_eff * jnp.eye(m, dtype=dtype)
 
 
+def add_rel_jitter(h: jax.Array, rel: float = 3e-4) -> jax.Array:
+    """f32-only relative diagonal jitter for derived operators.
+
+    Applied to ``H = K0zz + Σ_s K0zx_s B_s⁻¹ K0xz_s`` AFTER the sum (it
+    inherits K0zz's rank deficiency; observed NaN Cholesky at trained
+    hyperparameters) — unlike :func:`add_adaptive_jitter` there is no
+    ``max(eps, ·)`` floor because the operator already carries K0zz's
+    jitter. Shared by the full predictor and the low-rank serving extension
+    so the two paths keep agreeing. f64 is a no-op (reference precision).
+    """
+    if h.dtype != jnp.float32:
+        return h
+    m = h.shape[-1]
+    diag_mean = jnp.mean(jnp.diagonal(h, axis1=-2, axis2=-1))
+    return h + (rel * diag_mean) * jnp.eye(m, dtype=h.dtype)
+
+
 def block_b_operator(
     spec1: KernelSpec,
     kp1: KernelParams,

@@ -94,10 +94,7 @@ def gp_predict(
 
     ib_k0xz = ib @ k0xz
     h = k0zz + jnp.einsum("lptm,lptn->lmn", k0xz, ib_k0xz)
-    h = la.symmetrize(h)
-    if dtype == jnp.float32:
-        h_diag = jnp.mean(jnp.diagonal(h, axis1=-2, axis2=-1))
-        h = h + (3e-4 * h_diag) * jnp.eye(m_ind, dtype=dtype)
+    h = kx.add_rel_jitter(la.symmetrize(h))
     lh = la.cholesky(h)
 
     mu = (mu_b * mask[..., None]).transpose(2, 0, 1)  # [L, P, T]
@@ -329,10 +326,7 @@ def gp_predict_extend(
 
     ib_k0xz = ib_n @ k0xz_n  # [L, T, M]
     h = basis.h_nojit + jnp.einsum("ltm,ltn->lmn", k0xz_n, ib_k0xz)
-    h = la.symmetrize(h)
-    if dtype == jnp.float32:
-        h_diag = jnp.mean(jnp.diagonal(h, axis1=-2, axis2=-1))
-        h = h + (3e-4 * h_diag) * jnp.eye(m_ind, dtype=dtype)
+    h = kx.add_rel_jitter(la.symmetrize(h))
     lh = la.cholesky(h)
 
     mu = (mu_new * mask_new[:, None]).T  # [L, T]

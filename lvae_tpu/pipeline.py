@@ -301,8 +301,11 @@ class LVAEPipeline:
             from lvae_tpu.utils.debug import assert_state_finite
 
             assert_state_finite(trainer.state.trainables, where=f"epoch {epoch}")
-        if epoch == cfg.epochs:
-            return
+        # NB: the final epoch validates too when the cadence lands on it —
+        # the reference's in-training loop does (training.py:150) and the
+        # best-model artefacts must be able to come from the last epoch.
+        # run()'s post-training validate (LVAE.py:378-393) is a separate,
+        # non-best-tracking report, as in the reference.
         if self.validation_dataset is None:
             return
         if cfg.test_freq > 0 and epoch % cfg.test_freq != 0:

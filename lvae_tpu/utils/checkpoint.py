@@ -38,7 +38,11 @@ def _pack_leaf(x):
 
 def _unpack_leaf(x, template=None):
     if isinstance(x, dict) and "__prng__" in x:
-        return jax.random.wrap_key_data(jnp.asarray(x["data"]))
+        # rewrap with the SAVED impl (e.g. rbg vs threefry differ in key-data
+        # shape and stream) — the session default may not match the writer's
+        return jax.random.wrap_key_data(
+            jnp.asarray(x["data"]), impl=x["__prng__"]
+        )
     return x
 
 
@@ -149,8 +153,14 @@ def _strip_keys(tree):
 
 
 def _rewrap_keys(restored, like):
+    # the template's impl is the best available (orbax stores plain arrays,
+    # so the writer's impl isn't recorded the way the pickle format does)
     return jax.tree_util.tree_map(
-        lambda r, t: jax.random.wrap_key_data(jnp.asarray(r)) if _is_key(t) else r,
+        lambda r, t: jax.random.wrap_key_data(
+            jnp.asarray(r), impl=str(jax.random.key_impl(t))
+        )
+        if _is_key(t)
+        else r,
         restored,
         like,
     )

@@ -93,6 +93,26 @@ def test_native_reader_matches_pandas(cohort):
     np.testing.assert_array_equal(got, want)
 
 
+def test_native_reader_empty_and_nan_fields(tmp_path):
+    """Trailing-empty fields must NOT swallow the next row's first value
+    (strtod's whitespace skip crosses newlines); ',,' and 'nan' parse to
+    NaN, matching pandas."""
+    from lvae_tpu.utils.native_io import native_available, read_csv_native
+
+    if not native_available():
+        pytest.skip("native IO library not built")
+    import pandas as pd
+
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as f:
+        f.write("1.0,2.0,\n4.0,,6.0\nnan,8.0,9.0\n")
+    got = read_csv_native(p)
+    want = pd.read_csv(p, header=None).to_numpy(dtype=np.float64)
+    assert got.shape == want.shape == (3, 3)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_array_equal(np.nan_to_num(got), np.nan_to_num(want))
+
+
 def test_subject_blocks_ragged():
     labels = np.zeros((7, 3))
     labels[:, 1] = [5, 5, 5, 9, 9, 2, 2]  # subjects 5 (T=3), 9 (T=2), 2 (T=2)

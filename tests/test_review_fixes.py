@@ -204,3 +204,61 @@ def test_serving_encode_matches_chunked_and_empty_shapes(tmp_path):
     assert empty.shape == (0, cfg.latent_dim)
     empty_d = bundle.decode(np.zeros((0, cfg.latent_dim), np.float32))
     assert empty_d.shape[0] == 0
+
+
+def test_bf16_model_encodings_upcast_to_f32():
+    """encode_dataset upcasts bf16 moments so the GP posterior algebra
+    (which rejects/degrades under bf16) never sees them."""
+    import jax
+    import jax.numpy as jnp
+
+    from lvae_tpu.evaluation.encode import encode_dataset
+    from lvae_tpu.models.vae import SimpleVAE
+
+    model = SimpleVAE(latent_dim=3, num_dim=20, dtype=jnp.bfloat16)
+    params = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
+        jax.random.key(0), jnp.zeros((2, 20))
+    )
+    mu, lv = encode_dataset(model, params, np.zeros((8, 20), np.float32))
+    assert mu.dtype == np.float32 and lv.dtype == np.float32
+
+
+def test_rnn_aot_serving_rounds_batch_and_checks_rows(tmp_path):
+    """The AOT bundle rounds its batch to a multiple of the RNN's T and
+    rejects requests that would split a subject across the recurrence."""
+    from lvae_tpu.inference import LVAEPredictor
+    from tests.test_training import make_cfg as make_hcfg, tiny_cohort
+
+    import jax
+    import jax.numpy as jnp
+
+    from lvae_tpu.data.blocks import build_subject_blocks
+    from lvae_tpu.models.rnn import RNNVAE
+    from lvae_tpu.train import hensman as th
+    from lvae_tpu.train import state as st
+
+    t = 4
+    ds = tiny_cohort(p=6, t=t)
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    cfg = make_hcfg(True)
+    model = RNNVAE(latent_dim=cfg.latent_dim, num_dim=20, T=t, hidden_dim=8)
+    z = st.init_inducing_points(ds.labels, m_inducing=6, seed=0)
+    trainer = th.HensmanTrainer(model, cfg, ds, blocks, z, subjects_per_batch=3)
+    trainer.run_epoch()
+
+    tr = trainer.state.trainables
+    from lvae_tpu.evaluation.encode import encode_dataset
+
+    mu, _ = encode_dataset(model, tr.vae, ds.data)
+    pred = LVAEPredictor(
+        model=model, vae_params=tr.vae, gp_params=tr.gp,
+        noise=jnp.ones((cfg.latent_dim,)), spec0=cfg.spec0, spec1=cfg.spec1,
+        z=jnp.asarray(trainer.tdata.z), id_covariate=2,
+        basis_labels=np.asarray(ds.labels), basis_mu=mu,
+    )
+    bundle = pred.aot_compile(batch_size=10)  # not a multiple of T=4
+    assert bundle.batch_size == 8  # rounded down to a T-multiple
+    out = bundle.encode(ds.data)  # 24 rows = 6 whole subjects
+    np.testing.assert_allclose(out, mu, rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="divisible"):
+        bundle.encode(ds.data[: t * 2 + 1])

@@ -90,3 +90,38 @@ def test_encode_decode_roundtrip_jits():
 
     recon, mu, lv = fwd(params, x)
     assert recon.shape == x.shape
+
+
+def test_rnn_bidirectional_full_receptive_field():
+    """Every timepoint's variational moments must see the WHOLE subject
+    sequence: the backward pass is re-aligned to forward time order
+    (keep_order=True), so perturbing a MIDDLE frame changes the moments at
+    t=0 — the misaligned sum (backward state over [T-1-t..T-1]) would leave
+    the middle invisible to early timepoints."""
+    import jax
+    import jax.numpy as jnp
+
+    from lvae_tpu.models.rnn import RNNVAE
+
+    t = 6
+    model = RNNVAE(latent_dim=3, num_dim=10, T=t, hidden_dim=8)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(t, 10)), jnp.float32)
+    params = jax.jit(lambda k, xx: model.init(k, xx, deterministic=True))(
+        jax.random.key(0), x
+    )
+
+    def moments(xx):
+        mu, lv = model.apply(params, xx, method=RNNVAE.encode)
+        return np.asarray(mu)
+
+    base = moments(x)
+    for t_perturb in (t - 1, t // 2):  # last frame AND a middle frame
+        xp = x.at[t_perturb].add(1.0)
+        delta0 = np.abs(moments(xp)[0] - base[0]).max()
+        assert delta0 > 1e-6, (
+            f"moments at t=0 blind to frame {t_perturb} (delta {delta0})"
+        )
+    # and the forward direction: perturbing t=0 reaches the last timepoint
+    xp = x.at[0].add(1.0)
+    assert np.abs(moments(xp)[-1] - base[-1]).max() > 1e-6
