@@ -145,3 +145,34 @@ def test_scatter_roundtrip():
     gathered = vals[blocks.index] * blocks.mask[..., None]
     back = bl.scatter_to_flat(gathered, blocks.index, blocks.mask, 7)
     np.testing.assert_array_equal(back, vals)
+
+
+def test_generate_split_writes_named_cohorts(tmp_path):
+    """generate_split: one reference-format CSV cohort per named split."""
+    from lvae_tpu.data.healthmnist import generate_split
+
+    out = generate_split(
+        str(tmp_path), num_3=2, num_6=2, missing=25.0, seed=0,
+        splits=(("train", 1.0), ("validation", 0.5)),
+    )
+    assert set(out) == {"train", "validation"}
+    for name in ("train", "validation"):
+        assert os.path.exists(tmp_path / f"health_MNIST_data_{name}.csv")
+        assert os.path.exists(tmp_path / f"health_MNIST_label_{name}.csv")
+        assert os.path.exists(tmp_path / f"mask_{name}.csv")
+    # validation split is half the subjects → half the rows
+    n_train = len(open(tmp_path / "health_MNIST_data_train.csv").readlines())
+    n_val = len(open(tmp_path / "health_MNIST_data_validation.csv").readlines())
+    assert n_val == n_train // 2
+
+
+def test_step_timer_fences_device_work():
+    """StepTimer: wall-clock timing with block_until_ready fencing."""
+    import jax.numpy as jnp
+
+    from lvae_tpu.utils.metrics import StepTimer
+
+    timer = StepTimer()
+    out = timer.time(lambda x: (x * 2).sum(), jnp.arange(100.0))
+    assert float(out) == float(jnp.arange(100.0).sum() * 2)
+    assert len(timer.times) == 1 and timer.median_ms >= 0
