@@ -187,3 +187,81 @@ def test_cli_generate_then_pretrain_end_to_end(tmp_path):
     assert os.path.exists(results / "model_params_vae.ckpt")
     assert os.path.exists(results / "model_params_vae_25.ckpt")
     assert os.path.exists(results / "recon_VAE_25.pdf")
+
+
+def test_cli_full_reference_workflow_healthmnist(tmp_path):
+    """The reference's COMPLETE workflow at the CLI (README.MD:28-49):
+    Health_MNIST_generate.py → VAE.py pre-training → LVAE.py training with
+    validation/best-model/tests/generation — all via reference-format flag
+    files, seeding the L-VAE from the pre-trained checkpoint."""
+    data = tmp_path / "data"
+    results = tmp_path / "results"
+    assert cli_main([
+        "generate", f"--destination={data}", "--num_3=2", "--num_6=2",
+        "--missing=25", "--seed=0",
+    ]) == 0
+
+    vae_cfg = tmp_path / "vae_cfg.txt"
+    vae_cfg.write_text("\n".join([
+        f"--data_source_path={data}",
+        f"--save_path={results}",
+        "--dataset_type=HealthMNIST",
+        "--csv_file_data=health_MNIST_data_masked.csv",
+        "--csv_file_label=health_MNIST_label.csv",
+        "--mask_file=mask.csv",
+        "--type_nnet=conv",
+        "--latent_dim=4",
+        "--num_dim=1296",
+        "--epochs=2",
+        "--loss_function=nll",
+        "--dropout=0",
+    ]))
+    assert cli_main(["pretrain", f"--f={vae_cfg}"]) == 0
+    assert os.path.exists(results / "model_params_vae.ckpt")
+
+    lvae_cfg = tmp_path / "lvae_cfg.txt"
+    lvae_cfg.write_text("\n".join([
+        f"--f={vae_cfg}",  # nested flag file (shared data paths)
+        f"--results_path={results}",
+        "--csv_file_test_data=health_MNIST_data_masked.csv",
+        "--csv_file_test_label=health_MNIST_label.csv",
+        "--test_mask_file=mask.csv",
+        "--csv_file_prediction_data=health_MNIST_data_masked.csv",
+        "--csv_file_prediction_label=health_MNIST_label.csv",
+        "--prediction_mask_file=mask.csv",
+        "--csv_file_validation_data=health_MNIST_data_masked.csv",
+        "--csv_file_validation_label=health_MNIST_label.csv",
+        "--validation_mask_file=mask.csv",
+        "--csv_file_generation_data=health_MNIST_data_masked.csv",
+        "--csv_file_generation_label=health_MNIST_label.csv",
+        "--generation_mask_file=mask.csv",
+        "--id_covariate=2",
+        "--M=8",
+        "--T=20",
+        "--epochs=2",
+        "--test_freq=1",
+        "--checkpoint_every=1",
+        "--weight=0.15",
+        "--type_KL=GPapprox_closed",
+        "--subjects_per_batch=2",
+        "--hensman=True",
+        "--natural_gradient=True",
+        "--constrain_scales=True",
+        "--cat_kernel=[2]",
+        "--sqexp_kernel=[0]",
+        "--cat_int_kernel=[{'cont_covariate':0, 'cat_covariate':2}]",
+        "--loss_function=mse",
+        "--run_tests=True",
+        "--run_validation=True",
+        "--generate_images=True",
+        f"--model_params={results / 'model_params_vae.ckpt'}",
+        "--gp_model_folder=",
+    ]))
+    assert cli_main([f"--f={lvae_cfg}"]) == 0
+    for artefact in (
+        "model_best.ckpt", "model_final.ckpt", "result_error.csv",
+        "result_error_best.csv", "recon_complete.pdf",
+        "recon_complete_best.pdf", "plot_values.pkl", "diagnostics.pkl",
+        "metrics.jsonl",
+    ):
+        assert os.path.exists(results / artefact), artefact
