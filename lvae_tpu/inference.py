@@ -216,6 +216,16 @@ class CompiledServing:
 
         self.t_obs, self.n_query = t_obs, n_query
         if t_obs is not None and n_query is not None:
+            if self.seq_len and t_obs != self.seq_len:
+                # the trajectory request is ONE subject's observed frames;
+                # an RNN encoder must see them as ONE recurrence — t_obs of
+                # k·T would silently split the sequence into k independent
+                # recurrences, t_obs < T can't form one at all
+                raise ValueError(
+                    f"RNN trajectory serving requires t_obs == T="
+                    f"{self.seq_len} (one whole subject sequence); got "
+                    f"t_obs={t_obs}"
+                )
             self._compile_trajectory(t_obs, n_query)
 
     def _compile_trajectory(self, t_obs: int, n_query: int) -> None:

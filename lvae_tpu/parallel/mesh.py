@@ -108,10 +108,23 @@ class _ShardedTrainer:
         self.inner = trainer
         self.mesh = mesh
 
+    _OWN_ATTRS = ("inner", "mesh", "_place")
+
     def __getattr__(self, name):
         if name == "inner":  # not set yet during __init__
             raise AttributeError(name)
         return getattr(self.inner, name)
+
+    def __setattr__(self, name, value):
+        # writes to delegated attributes go THROUGH to the inner trainer —
+        # landing them in the wrapper's __dict__ would shadow the name while
+        # the trainer's methods keep reading the stale inner value
+        if name in self._OWN_ATTRS or isinstance(
+            getattr(type(self), name, None), property
+        ):
+            super().__setattr__(name, value)
+        else:
+            setattr(self.inner, name, value)
 
     def _reshard_state(self, value):
         return shard_hensman_state(value, self.mesh, self.inner.cfg.latent_dim)

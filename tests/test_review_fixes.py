@@ -262,3 +262,42 @@ def test_rnn_aot_serving_rounds_batch_and_checks_rows(tmp_path):
     np.testing.assert_allclose(out, mu, rtol=1e-5, atol=1e-6)
     with pytest.raises(ValueError, match="divisible"):
         bundle.encode(ds.data[: t * 2 + 1])
+
+
+def test_rnn_trajectory_serving_requires_whole_subject(tmp_path):
+    """aot_compile with t_obs != T on an RNN predictor fails loudly — k*T
+    would silently split the observed sequence into k recurrences."""
+    import jax
+    import jax.numpy as jnp
+
+    from lvae_tpu.data.blocks import build_subject_blocks
+    from lvae_tpu.evaluation.encode import encode_dataset
+    from lvae_tpu.inference import LVAEPredictor
+    from lvae_tpu.models.rnn import RNNVAE
+    from lvae_tpu.ops import kernels as kx
+    from lvae_tpu.train import state as st
+    from tests.test_training import tiny_cohort
+
+    t = 4
+    ds = tiny_cohort(p=4, t=t)
+    model = RNNVAE(latent_dim=3, num_dim=20, T=t, hidden_dim=8)
+    params = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
+        jax.random.key(0), jnp.asarray(ds.data[:t])
+    )
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2], sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+        id_covariate=2,
+    )
+    gp = st.init_gp_params(spec0, spec1, 3, constrain_scales=True)
+    mu, _ = encode_dataset(model, params, ds.data)
+    pred = LVAEPredictor(
+        model=model, vae_params=params, gp_params=gp,
+        noise=jnp.ones((3,)), spec0=spec0, spec1=spec1,
+        z=jnp.asarray(st.init_inducing_points(ds.labels, 6, seed=0)),
+        id_covariate=2, basis_labels=np.asarray(ds.labels), basis_mu=mu,
+    )
+    with pytest.raises(ValueError, match="whole subject"):
+        pred.aot_compile(batch_size=8, t_obs=2 * t, n_query=2)
+    bundle = pred.aot_compile(batch_size=8, t_obs=t, n_query=2)  # t_obs == T OK
+    assert bundle.t_obs == t

@@ -517,3 +517,17 @@ def test_predictor_from_sharded_pipeline_uses_mesh(tmp_path):
     a = ref.predict_trajectory(new.data[:3], new.labels[:3], new.labels[3:])
     b = pred.predict_trajectory(new.data[:3], new.labels[:3], new.labels[3:])
     assert a.shape == b.shape and np.isfinite(b).all()
+
+
+def test_sharded_wrapper_attribute_writes_reach_inner():
+    """Writes to delegated attributes go through to the inner trainer —
+    landing in the wrapper's __dict__ would silently shadow the name while
+    the trainer computes on the stale inner value."""
+    from lvae_tpu.parallel.mesh import ShardedStandardTrainer
+
+    trainer = build_standard_trainer("GPapprox_closed")
+    sharded = ShardedStandardTrainer(trainer, make_mesh(2, 1))
+    new_mask = trainer.block_mask + 0  # any array
+    sharded.block_mask = new_mask
+    assert trainer.block_mask is new_mask  # reached the inner trainer
+    assert "block_mask" not in vars(sharded)  # no wrapper-side shadow
