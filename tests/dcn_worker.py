@@ -15,9 +15,14 @@ import json
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-os.environ["JAX_ENABLE_X64"] = "1"
+if __name__ == "__main__":
+    # worker-process env; MUST be guarded — the parent pytest process
+    # imports this module for build_trainer, and clobbering its XLA_FLAGS
+    # (8 virtual devices) with 4 would poison later subprocess-spawning
+    # tests
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_ENABLE_X64"] = "1"
 
 import jax  # noqa: E402
 

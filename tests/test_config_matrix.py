@@ -44,6 +44,7 @@ MATRIX = [
 
 @pytest.mark.parametrize("name,over", MATRIX, ids=[m[0] for m in MATRIX])
 def test_regime_matrix_trains_and_validates(tmp_path, name, over):
+    over = dict(over)  # parametrize shares the MATRIX dicts by reference
     cfg = make_cfg(
         str(tmp_path), epochs=2, run_tests=False, generate_images=False,
         run_validation=True, test_freq=1, checkpoint_every=1,

@@ -43,9 +43,14 @@ def test_two_process_global_mesh_matches_single_process(tmp_path):
         for i in range(2)
     ]
     logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=560)
-        logs.append(out.decode(errors="replace"))
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=560)
+            logs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:  # a wedged worker must not outlive the test
+            if p.poll() is None:
+                p.kill()
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
 

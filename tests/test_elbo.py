@@ -45,11 +45,11 @@ def make_problem(rng, P=4, T=3, L=3, M=5, ragged=False):
     # randomise hyperparams so the test isn't at the symmetric init point
     kp0 = kp0._replace(
         raw_scale=kp0.raw_scale + 0.3 * rng.normal(size=kp0.raw_scale.shape),
-        raw_lengthscale=kp0.raw_lengthscale + 0.3 * rng.normal(size=kp0.raw_scale.shape),
+        raw_lengthscale=kp0.raw_lengthscale + 0.3 * rng.normal(size=kp0.raw_lengthscale.shape),
     )
     kp1 = kp1._replace(
         raw_scale=kp1.raw_scale + 0.3 * rng.normal(size=kp1.raw_scale.shape),
-        raw_lengthscale=kp1.raw_lengthscale + 0.3 * rng.normal(size=kp1.raw_scale.shape),
+        raw_lengthscale=kp1.raw_lengthscale + 0.3 * rng.normal(size=kp1.raw_lengthscale.shape),
     )
     noise = jnp.asarray(0.5 + rng.uniform(0.0, 0.5, size=L))
     z = jnp.asarray(x[rng.choice(n, size=M, replace=False)] + 0.01 * rng.normal(size=(M, 4)))

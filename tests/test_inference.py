@@ -35,7 +35,9 @@ def test_predictor_end_to_end(tmp_path):
     assert np.isfinite(out).all()
 
     # unseen-subject queries with no observations → population mean, finite
-    out2 = pred.predict_trajectory(new.data[:3], new.labels[:3], ds.labels[:4])
+    far = healthmnist_like(p=1, t=5, seed=12)
+    far.labels[:, 2] = 888.0  # in neither the basis nor the observations
+    out2 = pred.predict_trajectory(new.data[:3], new.labels[:3], far.labels[:4])
     assert np.isfinite(out2).all()
 
 

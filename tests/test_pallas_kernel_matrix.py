@@ -22,7 +22,7 @@ def problem(rng, n1=70, n2=37, latent=3):
     kp = kp._replace(
         raw_scale=kp.raw_scale + 0.3 * rng.normal(size=kp.raw_scale.shape).astype(np.float32),
         raw_lengthscale=kp.raw_lengthscale
-        + 0.3 * rng.normal(size=kp.raw_scale.shape).astype(np.float32),
+        + 0.3 * rng.normal(size=kp.raw_lengthscale.shape).astype(np.float32),
     )
     x1 = np.stack(
         [rng.normal(size=n1), rng.integers(0, 2, n1), rng.integers(0, 4, n1),

@@ -403,10 +403,13 @@ def test_auto_recover_from_nan_state(tmp_path):
         pipeline._epoch_callback(trainer, 2, trainer.history[-1])
 
 
-def test_standard_regime_with_validation(result_dir):
+def test_standard_regime_with_validation(tmp_path):
     """standard_training + validation: the reference NameErrors here
     (undefined standard_validate, training.py:596); the intended behaviour
     — validation-driven best-model tracking in the standard regime — works."""
+    result_dir = str(tmp_path)  # own dir: the module-scoped one already
+    # holds model_best.ckpt from the hensman test, which would make the
+    # existence assertion below vacuous
     cfg = make_cfg(
         result_dir, hensman=False, natural_gradient=False, epochs=2,
         run_validation=True, generate_images=False, run_tests=False,
