@@ -119,6 +119,11 @@ class LVAEConfig:
     # | orbax_async (training continues while the host writes)
     checkpoint_backend: str = "pickle"
     learn_inducing: bool = False  # optimise inducing points (hensman only)
+    # Ragged-T cohorts: pad subjects into <=T_buckets length buckets instead
+    # of one global T_max (SURVEY §7 step 7). 1 = single bucket (exact
+    # semantics either way — masking makes padding exact; buckets only cut
+    # the padded-Cholesky waste, elbo_functions.py:219-307 cost ∝ Σ T_s³).
+    T_buckets: int = 1
     profile: bool = False
     auto_recover: bool = False  # restore last good checkpoint on non-finite state
     debug_nans: bool = False  # raise with diagnostics if state degrades
@@ -145,6 +150,16 @@ class LVAEConfig:
         )
         assert self.type_KL in ("closed", "GPapprox", "GPapprox_closed", "other")
         assert self.checkpoint_backend in ("pickle", "orbax", "orbax_async")
+        assert self.T_buckets >= 1, "T_buckets must be >= 1"
+        assert self.T_buckets == 1 or self.hensman, (
+            "T_buckets > 1 requires the hensman regime (the bucketed epoch "
+            "program is the SVI trainer's; standard regimes are full-batch "
+            "fixed-T)"
+        )
+        assert self.T_buckets == 1 or self.type_nnet != "rnn", (
+            "T_buckets > 1 is incompatible with the RNN encoder (it consumes "
+            "fixed-T subject-major sequences)"
+        )
         # Flags the reference parses but never reads anywhere
         # (parse_model_args.py:71-72, grep-verified): accept them for
         # flag-file compatibility, but tell the user instead of silently

@@ -12,7 +12,7 @@ consumed by ``lvae_tpu.ops.elbo``).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -69,6 +69,79 @@ def build_subject_blocks(
         mask[r, : len(m)] = 1.0
     subject_ids = np.asarray([float(ids[m[0]]) for m in members])
     return SubjectBlocks(index=index, mask=mask, subject_ids=subject_ids, t_lens=t_lens)
+
+
+def bucket_boundaries(t_lens: np.ndarray, max_buckets: int) -> List[int]:
+    """Choose ≤``max_buckets`` T-length caps for a ragged cohort.
+
+    Greedy cost-balancing replacement for the reference's exact per-subject
+    iteration (elbo_functions.py:219-307, utils.py:89-113 — cost ∝ Σ T_s³):
+    starting from the distinct subject lengths, repeatedly merge the adjacent
+    pair of caps whose merge adds the least padded-Cholesky waste
+    (Σ_s∈lower (T_upper³ − T_s³)) until ≤``max_buckets`` caps remain. One
+    90-timepoint stay then no longer makes 5-timepoint subjects pay 90³-shaped
+    blocks. Returns sorted inclusive caps; the last equals ``max(t_lens)``.
+    """
+    t_lens = np.asarray(t_lens, dtype=np.int64)
+    caps = sorted(set(int(t) for t in t_lens))
+    if max_buckets < 1:
+        raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
+    # subjects per distinct length
+    counts = {c: int(np.sum(t_lens == c)) for c in caps}
+    # members[i] = list of (length, count) currently assigned to cap caps[i]
+    members = [[(c, counts[c])] for c in caps]
+    while len(caps) > max_buckets:
+        best_i, best_cost = 0, None
+        for i in range(len(caps) - 1):
+            upper = caps[i + 1]
+            cost = sum(n * (upper**3 - t**3) for t, n in members[i])
+            if best_cost is None or cost < best_cost:
+                best_i, best_cost = i, cost
+        members[best_i + 1] = members[best_i] + members[best_i + 1]
+        del caps[best_i], members[best_i]
+    return caps
+
+
+def bucket_subject_blocks(
+    blocks: SubjectBlocks,
+    max_buckets: int,
+    caps: Optional[Sequence[int]] = None,
+) -> List[SubjectBlocks]:
+    """Partition a ragged cohort into T-length buckets (SURVEY §7 step 7).
+
+    Each returned ``SubjectBlocks`` holds the subjects whose true length falls
+    in its cap's band, padded only to that cap — the TPU-shaped replacement
+    for ``minibatch_KLD_upper_bound_iter``'s per-subject Python loop
+    (elbo_functions.py:219-307). Buckets are ordered by ascending cap and are
+    non-empty; with one bucket (or a fixed-T cohort) this degenerates to the
+    original single table. Masked padding makes every bound exact regardless
+    of the cap (see ops/elbo.py masking invariants), so bucketing changes
+    cost, never values.
+    """
+    if caps is None:
+        caps = bucket_boundaries(blocks.t_lens, max_buckets)
+    caps = sorted(int(c) for c in caps)
+    if caps[-1] < int(blocks.t_lens.max()):
+        raise ValueError(
+            f"largest cap {caps[-1]} < longest subject ({blocks.t_lens.max()})"
+        )
+    out: List[SubjectBlocks] = []
+    assigned = np.zeros(blocks.num_subjects, dtype=bool)
+    for cap in caps:
+        sel = (~assigned) & (blocks.t_lens <= cap)
+        assigned |= sel
+        rows = np.flatnonzero(sel)
+        if rows.size == 0:
+            continue
+        out.append(
+            SubjectBlocks(
+                index=blocks.index[rows, :cap].copy(),
+                mask=blocks.mask[rows, :cap].copy(),
+                subject_ids=blocks.subject_ids[rows].copy(),
+                t_lens=blocks.t_lens[rows].copy(),
+            )
+        )
+    return out
 
 
 def epoch_batches(

@@ -304,15 +304,18 @@ class ShardedHensmanTrainer(_ShardedTrainer):
         latent = trainer.cfg.latent_dim
         trainer.tdata = shard_train_data(trainer.tdata, mesh)
         trainer.state = shard_hensman_state(trainer.state, mesh, latent)
-        # the epoch program closes over the block table: replicate it
+        # the epoch program closes over the block table(s): replicate them
         from lvae_tpu.train.hensman import BlockTable, make_epochs_fn
 
-        trainer.table = BlockTable(
-            index=_put(trainer.table.index, mesh, P()),
-            mask=_put(trainer.table.mask, mesh, P()),
-            num_real=trainer.table.num_real,
+        trainer.tables = tuple(
+            BlockTable(
+                index=_put(t.index, mesh, P()),
+                mask=_put(t.mask, mesh, P()),
+                num_real=t.num_real,
+            )
+            for t in trainer.tables
         )
         trainer.epochs_fn = make_epochs_fn(
-            trainer.model, trainer.cfg, trainer.optimizer, trainer.table,
+            trainer.model, trainer.cfg, trainer.optimizer, trainer.tables,
             trainer.subjects_per_batch, mesh=mesh,
         )

@@ -177,6 +177,7 @@ class LVAEPipeline:
                 self.model, hcfg, self.dataset, self.blocks, z,
                 subjects_per_batch=cfg.subjects_per_batch,
                 learning_rate=cfg.learning_rate, seed=cfg.seed, dtype=self.dtype,
+                t_buckets=cfg.T_buckets,
             )
             if cfg.data_mesh * cfg.latent_mesh > 1:
                 from lvae_tpu.parallel.mesh import (

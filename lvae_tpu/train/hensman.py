@@ -181,7 +181,7 @@ def make_epochs_fn(
     model,
     cfg: HensmanConfig,
     optimizer,
-    table: BlockTable,
+    tables,
     subjects_per_batch: int,
     mesh=None,
 ):
@@ -191,59 +191,84 @@ def make_epochs_fn(
     ``n_epochs`` is static (one compile per distinct chunk size). Per epoch a
     fresh on-device subject permutation is drawn from the carried key; ghost
     rows fill the ragged tail so every batch is ``[S, T]``.
+
+    ``tables`` is one ``BlockTable`` or a tuple of them — one per T-length
+    bucket (SURVEY §7 step 7; the TPU-shaped replacement for the reference's
+    per-subject ragged loop, elbo_functions.py:219-307). With buckets, one
+    epoch visits every bucket in turn: each gets its own in-program
+    ``lax.scan`` at its own static ``[S, T_bucket]`` batch shape, so short
+    subjects never pay the longest subject's T³ Cholesky blocks. The whole
+    multi-bucket epoch remains ONE compiled program / ONE dispatch (the
+    remote-chip round-trip economics in the module docstring). With a single
+    table the trace is identical to the unbucketed trainer.
     """
-    p_pad, t_len = table.index.shape
+    if isinstance(tables, BlockTable):
+        tables = (tables,)
     s = subjects_per_batch
-    n_batches = p_pad // s
-    p_real = table.num_real
 
     @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
     def epochs_fn(state, tdata, n_epochs: int):
-        def step(state, order_rows):
-            b_idx = jnp.take(table.index, order_rows, axis=0)
-            b_mask = jnp.take(table.mask, order_rows, axis=0)
-            p_batch = jnp.sum(order_rows < p_real).astype(b_mask.dtype)
-            rng, step_key = jax.random.split(state.rng)
+        def make_step(table):
+            p_real = table.num_real
 
-            grad_fn = jax.value_and_grad(
-                lambda tr: batch_loss(
-                    model, cfg, tr, state.m_nat, state.H_nat,
-                    tdata, b_idx, b_mask, p_batch, step_key, mesh=mesh,
-                ),
-                has_aux=True,
-            )
-            (net, (metrics, ng)), grads = grad_fn(state.trainables)
-            updates, opt_state = optimizer.update(
-                grads, state.opt_state, state.trainables
-            )
-            trainables = optax.apply_updates(state.trainables, updates)
+            def step(state, order_rows):
+                b_idx = jnp.take(table.index, order_rows, axis=0)
+                b_mask = jnp.take(table.mask, order_rows, axis=0)
+                p_batch = jnp.sum(order_rows < p_real).astype(b_mask.dtype)
+                rng, step_key = jax.random.split(state.rng)
 
-            m_nat, H_nat = state.m_nat, state.H_nat
-            if cfg.natural_gradient:
-                m_nat, H_nat = eb.natural_gradient_update(
-                    m_nat, H_nat, ng, cfg.natural_gradient_lr
+                grad_fn = jax.value_and_grad(
+                    lambda tr: batch_loss(
+                        model, cfg, tr, state.m_nat, state.H_nat,
+                        tdata, b_idx, b_mask, p_batch, step_key, mesh=mesh,
+                    ),
+                    has_aux=True,
                 )
-            new_state = st.HensmanState(
-                trainables=trainables,
-                m_nat=m_nat,
-                H_nat=H_nat,
-                opt_state=opt_state,
-                rng=rng,
-                step=state.step + 1,
-            )
-            return new_state, metrics
+                (net, (metrics, ng)), grads = grad_fn(state.trainables)
+                updates, opt_state = optimizer.update(
+                    grads, state.opt_state, state.trainables
+                )
+                trainables = optax.apply_updates(state.trainables, updates)
+
+                m_nat, H_nat = state.m_nat, state.H_nat
+                if cfg.natural_gradient:
+                    m_nat, H_nat = eb.natural_gradient_update(
+                        m_nat, H_nat, ng, cfg.natural_gradient_lr
+                    )
+                new_state = st.HensmanState(
+                    trainables=trainables,
+                    m_nat=m_nat,
+                    H_nat=H_nat,
+                    opt_state=opt_state,
+                    rng=rng,
+                    step=state.step + 1,
+                )
+                return new_state, metrics
+
+            return step
 
         def one_epoch(state, _):
-            rng, perm_key = jax.random.split(state.rng)
-            state = state._replace(rng=rng)
-            perm = jax.random.permutation(perm_key, p_real)
-            if p_pad > p_real:
-                perm = jnp.concatenate(
-                    [perm, jnp.arange(p_real, p_pad, dtype=perm.dtype)]
-                )
-            order = perm.reshape(n_batches, s)
-            state, ms = jax.lax.scan(step, state, order)
-            return state, jax.tree.map(jnp.mean, ms)
+            bucket_ms = []
+            for table in tables:
+                p_pad = table.index.shape[0]
+                p_real = table.num_real
+                n_batches = p_pad // s
+                rng, perm_key = jax.random.split(state.rng)
+                state = state._replace(rng=rng)
+                perm = jax.random.permutation(perm_key, p_real)
+                if p_pad > p_real:
+                    perm = jnp.concatenate(
+                        [perm, jnp.arange(p_real, p_pad, dtype=perm.dtype)]
+                    )
+                order = perm.reshape(n_batches, s)
+                state, ms = jax.lax.scan(make_step(table), state, order)
+                bucket_ms.append(ms)
+            # epoch metric = mean over ALL batches of the epoch (bucketed or
+            # not) — the reference averages its per-batch losses uniformly
+            ms_cat = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *bucket_ms
+            )
+            return state, jax.tree.map(jnp.mean, ms_cat)
 
         state, ms = jax.lax.scan(one_epoch, state, None, length=n_epochs)
         return state, ms
@@ -289,15 +314,24 @@ class HensmanTrainer:
         learning_rate: float = 1e-3,
         seed: int = 0,
         dtype=jnp.float32,
+        t_buckets: int = 1,
     ):
         self.model = model
         self.cfg = cfg
         self.blocks = blocks
         self.subjects_per_batch = subjects_per_batch
         self.optimizer = st.make_optimizer(learning_rate)
-        self.table = build_block_table(blocks, subjects_per_batch, dtype)
+        if t_buckets > 1:
+            from lvae_tpu.data import blocks as bk
+
+            bucket_blocks = bk.bucket_subject_blocks(blocks, t_buckets)
+        else:
+            bucket_blocks = [blocks]
+        self.tables = tuple(
+            build_block_table(b, subjects_per_batch, dtype) for b in bucket_blocks
+        )
         self.epochs_fn = make_epochs_fn(
-            model, cfg, self.optimizer, self.table, subjects_per_batch
+            model, cfg, self.optimizer, self.tables, subjects_per_batch
         )
         self.dtype = dtype
 
