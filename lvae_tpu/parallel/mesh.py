@@ -172,16 +172,44 @@ class ShardedStandardTrainer(_ShardedTrainer):
             )
         super().__init__(trainer, mesh)
         latent = trainer.cfg.latent_dim
-        p_subjects = trainer.block_mask.shape[0]
+        p_subjects, t_len = trainer.block_mask.shape
         trainer.state = shard_hensman_state(trainer.state, mesh, latent)
         n_data = mesh.shape["data"]
-        aligned = p_subjects % n_data == 0
+        ghosts = (-p_subjects) % n_data
+        if ghosts:
+            # Alignment padding: append fully-masked ghost subjects so the
+            # subject axis divides the mesh instead of silently replicating
+            # the cohort. Ghosts contribute exactly zero to every term — the
+            # block masks zero them in the GP bounds (ops/elbo.py masking
+            # invariants; closed-KL decouples them to unit prior rows in
+            # train/standard.py) and their pixel masks zero the recon/NLL.
+            print(
+                f"ShardedStandardTrainer: padding P={p_subjects} with "
+                f"{ghosts} ghost subject(s) to align the {n_data}-way data "
+                "axis (ghosts are fully masked; all losses unchanged)"
+            )
+
+            def pad_rows(x):
+                a = np.asarray(x)
+                pad = np.zeros((ghosts * t_len,) + a.shape[1:], a.dtype)
+                return np.concatenate([a, pad], axis=0)
+
+            trainer.tdata = trainer.tdata._replace(
+                data=pad_rows(trainer.tdata.data),
+                labels=pad_rows(trainer.tdata.labels),
+                pixmask=pad_rows(trainer.tdata.pixmask),
+            )
+            trainer.block_mask = np.concatenate(
+                [
+                    np.asarray(trainer.block_mask),
+                    np.zeros((ghosts, t_len), np.asarray(trainer.block_mask).dtype),
+                ],
+                axis=0,
+            )
 
         def put_rows(x):
-            # whole-subject row chunks per device; replicate when unaligned
-            if aligned:
-                return _put(x, mesh, P("data", *([None] * (x.ndim - 1))))
-            return _put(x, mesh, P())
+            # whole-subject row chunks per device (alignment guaranteed above)
+            return _put(x, mesh, P("data", *([None] * (x.ndim - 1))))
 
         trainer.tdata = st.TrainData(
             data=put_rows(trainer.tdata.data),
@@ -189,11 +217,7 @@ class ShardedStandardTrainer(_ShardedTrainer):
             pixmask=put_rows(trainer.tdata.pixmask),
             z=_put(trainer.tdata.z, mesh, P()),
         )
-        trainer.block_mask = (
-            _put(trainer.block_mask, mesh, P("data", None))
-            if aligned
-            else _put(trainer.block_mask, mesh, P())
-        )
+        trainer.block_mask = _put(trainer.block_mask, mesh, P("data", None))
 
 
 class ShardedVITrainer(_ShardedTrainer):
@@ -213,6 +237,16 @@ class ShardedVITrainer(_ShardedTrainer):
         latent = trainer.cfg.latent_dim
         p_subjects = trainer.block_mask.shape[0]
         aligned = p_subjects % mesh.shape["data"] == 0
+        if not aligned:
+            import warnings
+
+            warnings.warn(
+                f"ShardedVITrainer: P={p_subjects} does not divide the "
+                f"{mesh.shape['data']}-way data axis; the cohort and the free "
+                "variational moments are REPLICATED (no data parallelism). "
+                "Pad the cohort to a multiple of the data axis to shard it.",
+                stacklevel=2,
+            )
 
         n_rows = trainer.data_ordered.shape[0]  # P·T subject-major rows
 
@@ -247,10 +281,21 @@ class ShardedVITrainer(_ShardedTrainer):
 
 def _put_axis_or_replicate(x, mesh: Mesh, axis: str):
     """Shard the leading dim over ``axis`` when it divides evenly; else
-    replicate (GSPMD still partitions downstream where profitable)."""
+    replicate (GSPMD still partitions downstream where profitable) — with a
+    warning, so a user asking for N-way parallelism on an unaligned cohort
+    learns they got 1-way instead of silently paying replication."""
     n = mesh.shape[axis]
     if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n == 0:
         return _put(x, mesh, P(axis, *([None] * (x.ndim - 1))))
+    if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] > 1:
+        import warnings
+
+        warnings.warn(
+            f"leading dim {x.shape[0]} does not divide the {n}-way "
+            f"'{axis}' mesh axis; replicating (no '{axis}' parallelism for "
+            "this array)",
+            stacklevel=2,
+        )
     return _put(x, mesh, P())
 
 

@@ -93,8 +93,12 @@ def full_batch_loss(
     if cfg.vy_fixed:
         raw_log_vy = jax.lax.stop_gradient(raw_log_vy)
     mse_i, nll_i = mv.vae_loss(raw_log_vy, recon, tdata.data, tdata.pixmask)
-    recon_loss = jnp.sum(mse_i)
-    nll_loss = jnp.sum(nll_i)
+    # row validity masks ghost alignment padding out of the sums — the NLL
+    # adds its Gaussian constant per pixel regardless of the pixel mask
+    # (VAE.py:158-160 quirk), so ghost rows would otherwise leak it
+    row_valid = block_mask.reshape(-1).astype(mse_i.dtype)
+    recon_loss = jnp.sum(mse_i * row_valid)
+    nll_loss = jnp.sum(nll_i * row_valid)
 
     gp = trainables.gp
     noise = (
@@ -113,13 +117,20 @@ def full_batch_loss(
         # the fly so the trainer's params keep the (kp0, kp1) layout every
         # downstream consumer (validate, prediction, generation, serving)
         # expects — the reference's non-split `covar_module` exists only in
-        # this loss (training.py:499-513)
+        # this loss (training.py:499-513). Ghost rows (block_mask==0 — the
+        # sharded wrapper's alignment padding) are decoupled: their prior
+        # row/col is the identity and their moments are zeroed, so each
+        # contributes exactly 0.5·(1 + 0 − 1 + 0 − 0) = 0 to the KL. With a
+        # full mask this reduces verbatim to the unmasked expression.
         spec_full, kp_full = kx.join_specs(cfg.spec0, cfg.spec1, gp.kp0, gp.kp1)
-        k_prior = kx.kernel_matrix(
-            spec_full, kp_full, tdata.labels, tdata.labels
-        ) + noise[:, None, None] * jnp.eye(tdata.labels.shape[0], dtype=mu.dtype)
+        n_rows = tdata.labels.shape[0]
+        valid = block_mask.reshape(n_rows).astype(mu.dtype)
+        k_full = kx.kernel_matrix(spec_full, kp_full, tdata.labels, tdata.labels)
+        k_full = k_full * (valid[:, None] * valid[None, :])
+        diag_add = valid * noise[:, None] + (1.0 - valid)  # [L, N]
+        k_prior = k_full + diag_add[:, :, None] * jnp.eye(n_rows, dtype=mu.dtype)
         gp_loss = jnp.sum(
-            jax.vmap(eb.kl_closed)(k_prior, mu.T, log_var.T)
+            jax.vmap(eb.kl_closed)(k_prior, mu.T * valid, log_var.T * valid)
         )
     elif cfg.type_KL == "GPapprox":
         ops = eb.gp_block_operators(

@@ -538,3 +538,115 @@ def test_sharded_wrapper_attribute_writes_reach_inner():
     sharded.block_mask = new_mask
     assert trainer.block_mask is new_mask  # reached the inner trainer
     assert "block_mask" not in vars(sharded)  # no wrapper-side shadow
+
+
+def _ghost_pad_standard(trainer, n_data):
+    """Apply the wrapper's alignment padding WITHOUT a mesh (test control)."""
+    import jax.numpy as jnp
+
+    p, t = trainer.block_mask.shape
+    ghosts = (-p) % n_data
+    assert ghosts > 0
+
+    def pad_rows(x, fill=0.0):
+        a = np.asarray(x)
+        pad = np.full((ghosts * t,) + a.shape[1:], fill, a.dtype)
+        return jnp.asarray(np.concatenate([a, pad], axis=0))
+
+    trainer.tdata = trainer.tdata._replace(
+        data=pad_rows(trainer.tdata.data),
+        labels=pad_rows(trainer.tdata.labels),
+        pixmask=pad_rows(trainer.tdata.pixmask),
+    )
+    trainer.block_mask = jnp.asarray(
+        np.concatenate(
+            [np.asarray(trainer.block_mask), np.zeros((ghosts, t))], axis=0
+        ),
+        trainer.block_mask.dtype,
+    )
+    return trainer
+
+
+@pytest.mark.parametrize("type_kl", ["closed", "GPapprox_closed"])
+def test_sharded_standard_unaligned_ghost_padding(type_kl, capsys):
+    """P=9 on a 4-way data axis: the wrapper pads 3 fully-masked ghost
+    subjects and SHARDS (r2 silently replicated). Equality vs a single-device
+    trainer with identical padding at 1e-8, and the compiled step partitions
+    the padded subject axis."""
+    from lvae_tpu.parallel.mesh import ShardedStandardTrainer
+
+    ref = _ghost_pad_standard(build_standard_trainer(type_kl, p=9), 4)
+    ref_hist = run_epochs(ref)
+
+    trainer = build_standard_trainer(type_kl, p=9)
+    sharded = ShardedStandardTrainer(trainer, make_mesh(4, 2))
+    assert "ghost subject" in capsys.readouterr().out
+    assert trainer.block_mask.shape[0] == 12  # 9 + 3 ghosts
+    got_hist = run_epochs(sharded)
+
+    for a, b in zip(ref_hist, got_hist):
+        np.testing.assert_allclose(a.net, b.net, rtol=1e-8)
+        np.testing.assert_allclose(a.gp, b.gp, rtol=1e-8)
+
+    txt = (
+        trainer.step_fn.lower(trainer.state, trainer.tdata, trainer.block_mask)
+        .compile()
+        .as_text()
+    )
+    assert txt.count("all-reduce") > 0
+    # block stacks at local shape [L/2, 12/4, T, T] — sharded, not replicated
+    if type_kl == "GPapprox_closed":
+        assert "f64[2,3,4,4]" in txt, "padded subject axis not partitioned"
+        assert "f64[4,12,4,4]" not in txt, "found a replicated block stack"
+
+
+@pytest.mark.parametrize("type_kl", ["closed", "GPapprox_closed"])
+def test_ghost_rows_contribute_exactly_zero(type_kl):
+    """Ghost-content independence: the same padded trainer with garbage in
+    the ghost rows produces identical losses — ghosts cannot influence any
+    term (incl. the per-pixel NLL constant and the closed-KL prior)."""
+    from lvae_tpu.train.standard import full_batch_loss
+
+    t_a = _ghost_pad_standard(build_standard_trainer(type_kl, p=9), 4)
+    t_b = build_standard_trainer(type_kl, p=9)
+    p, t = t_b.block_mask.shape
+    t_b = _ghost_pad_standard(t_b, 4)
+    # poison the ghost rows of variant b
+    data = np.array(t_b.tdata.data)
+    labels = np.array(t_b.tdata.labels)
+    data[p * t:] = 7.5
+    labels[p * t:] = 3.0
+    t_b.tdata = t_b.tdata._replace(
+        data=np.asarray(data), labels=np.asarray(labels)
+    )
+
+    key = jax.random.key(42)
+    _, m_a = full_batch_loss(
+        t_a.model, t_a.cfg, t_a.state.trainables, t_a.tdata, t_a.block_mask, key
+    )
+    _, m_b = full_batch_loss(
+        t_b.model, t_b.cfg, t_b.state.trainables, t_b.tdata, t_b.block_mask, key
+    )
+    np.testing.assert_allclose(float(m_a.net), float(m_b.net), rtol=1e-12)
+    np.testing.assert_allclose(float(m_a.gp), float(m_b.gp), rtol=1e-12)
+    np.testing.assert_allclose(float(m_a.nll), float(m_b.nll), rtol=1e-12)
+
+    # and the deterministic GP term is padding-invariant vs NO padding at all
+    t_c = build_standard_trainer(type_kl, p=9)
+    _, m_c = full_batch_loss(
+        t_c.model, t_c.cfg, t_c.state.trainables, t_c.tdata, t_c.block_mask, key
+    )
+    np.testing.assert_allclose(float(m_a.gp), float(m_c.gp), rtol=1e-9)
+
+
+def test_unaligned_predict_inputs_warn():
+    """_put_axis_or_replicate warns when it falls back to replication."""
+    import warnings as w
+
+    from lvae_tpu.parallel import mesh as pm
+
+    mesh = make_mesh(4, 2)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        pm._put_axis_or_replicate(np.zeros((9, 3)), mesh, "data")
+    assert any("does not divide" in str(r.message) for r in rec)
