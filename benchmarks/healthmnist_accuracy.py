@@ -54,6 +54,11 @@ def main(argv=None):
     p.add_argument("--missing", type=float, default=25.0)
     p.add_argument("--subjects_per_batch", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--source", type=str, default=None,
+                   help="real digit images (reference layout source/<digit>/"
+                        "*.jpg) — the paper protocol verbatim; train/test "
+                        "cohorts draw disjoint instance files. Omitted = "
+                        "procedural glyphs (indicative-only numbers)")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--dump_state", type=str, default=None,
                    help="pickle trained state + eval arrays for offline analysis")
@@ -83,11 +88,13 @@ def main(argv=None):
     half = a.subjects // 2
     # models see the MASKED data (25% missing pixels) — imputation setting
     full_data, data, mask, labels_df = generate_healthmnist(
-        num_3=half, num_6=a.subjects - half, missing=a.missing, seed=a.seed
+        num_3=half, num_6=a.subjects - half, missing=a.missing, seed=a.seed,
+        source=a.source,
     )
     tfull, tdata, tmask, tlabels_df = generate_healthmnist(
         num_3=a.test_subjects // 2, num_6=a.test_subjects - a.test_subjects // 2,
         missing=a.missing, seed=a.seed + 1,
+        source=a.source, source_offset=max(half, a.subjects - half),
     )
     from lvae_tpu.data.datasets import HEALTH_LABEL_ORDER
 

@@ -11,10 +11,13 @@ pixel mask with the requested missing fraction is drawn. Labels columns:
 with ``disease_time = 'nan'`` for healthy subjects — the source of the
 nan-handling in the dataset loaders.
 
-The reference reads MNIST jpgs from disk; this environment has none, so digit
-*templates* are rendered procedurally (matplotlib glyphs) and each subject gets
-a small random affine perturbation to emulate instance diversity. The output
-CSV format is byte-compatible with the reference loaders.
+``--source`` ingests real digit images in the reference's directory layout
+(``source/<digit>/*.jpg``, Health_MNIST_generate.py:104-115) so the paper
+protocol runs verbatim when real MNIST files exist. Without ``--source``
+(this environment ships no MNIST), digit *templates* are rendered procedurally
+(matplotlib glyphs) with per-instance elastic/affine/stroke/intensity
+diversity. The output CSV format is byte-compatible with the reference
+loaders either way.
 """
 
 from __future__ import annotations
@@ -104,6 +107,43 @@ def _instance_image(digit: str, rng: np.random.Generator) -> np.ndarray:
     return np.clip(img, 0, 255)
 
 
+def _load_source_images(source: str, digit: str, count: int, offset: int = 0):
+    """Read ``count`` real digit instances from ``source/<digit>/*.jpg|png``.
+
+    The reference's ingestion layout (Health_MNIST_generate.py:104-115): one
+    sub-directory per digit, one 28×28 grayscale image per instance, consumed
+    in file order. We sort the glob for determinism (the reference relies on
+    filesystem order) and also accept .png alongside .jpg.
+    """
+    import glob
+
+    import matplotlib.pyplot as plt
+
+    data_path = os.path.join(source, digit)
+    files = sorted(
+        glob.glob(os.path.join(data_path, "*.jpg"))
+        + glob.glob(os.path.join(data_path, "*.jpeg"))
+        + glob.glob(os.path.join(data_path, "*.png"))
+    )
+    if len(files) < offset + count:
+        raise FileNotFoundError(
+            f"--source needs >= {offset + count} images under {data_path!r} "
+            f"(found {len(files)}); expected the reference layout "
+            "source/<digit>/*.jpg"
+        )
+    out = []
+    for f in files[offset : offset + count]:
+        img = np.asarray(plt.imread(f), dtype=np.float64)
+        if img.ndim == 3:  # RGB(A) → grayscale
+            img = img[..., :3].mean(axis=-1)
+        if img.max() <= 1.0:  # png floats → the reference's 0..255 scale
+            img = img * 255.0
+        if img.shape != (28, 28):
+            raise ValueError(f"{f}: expected a 28x28 digit image, got {img.shape}")
+        out.append(img)
+    return out
+
+
 def generate_healthmnist(
     num_3: int = 50,
     num_6: int = 50,
@@ -111,6 +151,8 @@ def generate_healthmnist(
     num_timepoints: int = 20,
     seed: int = 0,
     destination: Optional[str] = None,
+    source: Optional[str] = None,
+    source_offset: int = 0,
     data_file_name: str = "health_MNIST_data.csv",
     data_masked_file_name: str = "health_MNIST_data_masked.csv",
     labels_file_name: str = "health_MNIST_label.csv",
@@ -135,8 +177,16 @@ def generate_healthmnist(
     subject_index = 0
     for digit, count in (("3", num_3), ("6", num_6)):
         gender = 0 if digit == "3" else 1
-        for _ in range(count):
-            img28 = _instance_image(digit, rng)
+        real_imgs = (
+            _load_source_images(source, digit, count, source_offset)
+            if source
+            else None
+        )
+        for inst in range(count):
+            img28 = (
+                real_imgs[inst] if real_imgs is not None
+                else _instance_image(digit, rng)
+            )
             img_pad = np.pad(img28, ((4, 4), (4, 4)), "constant")
             sick = int(rng.binomial(1, sick_prob))
             loc = int(rng.binomial(1, 0.5))
@@ -189,6 +239,7 @@ def generate_split(
     missing: float = 25.0,
     seed: int = 0,
     splits=(("", 1.0),),
+    source: Optional[str] = None,
 ):
     """Generate one cohort per named split, e.g. train/validation/test/prediction."""
     out = {}
@@ -198,6 +249,7 @@ def generate_split(
         suffix = f"_{name}" if name else ""
         out[name] = generate_healthmnist(
             n3, n6, missing, seed=seed + i, destination=destination,
+            source=source,
             data_file_name=f"health_MNIST_data{suffix}.csv",
             data_masked_file_name=f"health_MNIST_data_masked{suffix}.csv",
             labels_file_name=f"health_MNIST_label{suffix}.csv",
@@ -209,7 +261,9 @@ def generate_split(
 def main(argv=None):
     p = argparse.ArgumentParser(description="Generate Health MNIST data")
     p.add_argument("--source", type=str, default=None,
-                   help="Unused (digits are rendered procedurally); kept for CLI parity")
+                   help="Directory of real digit images in the reference "
+                        "layout source/<digit>/*.jpg (Health_MNIST_generate"
+                        ".py:104-115); omitted = procedural glyph instances")
     p.add_argument("--destination", type=str, default="./data")
     p.add_argument("--num_3", type=int, default=50)
     p.add_argument("--num_6", type=int, default=50)
@@ -222,6 +276,7 @@ def main(argv=None):
     a = p.parse_args(argv)
     data, _, _, labels = generate_healthmnist(
         a.num_3, a.num_6, a.missing, seed=a.seed, destination=a.destination,
+        source=a.source,
         data_file_name=a.data_file_name,
         data_masked_file_name=a.data_masked_file_name,
         labels_file_name=a.labels_file_name,

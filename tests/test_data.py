@@ -176,3 +176,66 @@ def test_step_timer_fences_device_work():
     out = timer.time(lambda x: (x * 2).sum(), jnp.arange(100.0))
     assert float(out) == float(jnp.arange(100.0).sum() * 2)
     assert len(timer.times) == 1 and timer.median_ms >= 0
+
+
+def _write_digit_dir(root, n_per_digit=4):
+    """Tiny synthetic --source tree in the reference layout: <root>/<digit>/*.jpg."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    for digit in ("3", "6"):
+        d = os.path.join(root, digit)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_per_digit):
+            img = np.zeros((28, 28), np.uint8)
+            # a distinct blob per instance so instances are tellable apart
+            r, c = 4 + 3 * i, 6 + 2 * i
+            img[r : r + 8, c : c + 8] = 200 + i * 10
+            img[10:18, 10:13] = 120 if digit == "3" else 250
+            Image.fromarray(img, mode="L").save(os.path.join(d, f"img{i:02d}.jpg"))
+    return root
+
+
+def test_generate_with_source_uses_real_instances(tmp_path):
+    """--source ingests real digit files (Health_MNIST_generate.py:104-125):
+    per-subject base images come from the files, differ across subjects, and
+    differ from the procedural-template output."""
+    src = _write_digit_dir(str(tmp_path / "mnist"), n_per_digit=3)
+    data, _, _, labels = hm.generate_healthmnist(
+        num_3=2, num_6=2, missing=0.0, seed=0, source=src
+    )
+    proc, _, _, _ = hm.generate_healthmnist(num_3=2, num_6=2, missing=0.0, seed=0)
+    assert data.shape == proc.shape
+    assert not np.array_equal(data, proc)  # real files, not glyph templates
+    # subjects drew DIFFERENT instance files: compare each subject's first
+    # frame (same timepoint, so same rotation stats)
+    frames = data.reshape(4, 20, -1)[:, 0]
+    assert not np.array_equal(frames[0], frames[1])
+    # offset slicing gives disjoint instances
+    d2, _, _, _ = hm.generate_healthmnist(
+        num_3=1, num_6=1, missing=0.0, seed=0, source=src, source_offset=2
+    )
+    assert not np.array_equal(d2[:20], data[:20])
+
+
+def test_generate_with_source_through_cli(tmp_path):
+    from lvae_tpu.cli import main as cli_main
+
+    src = _write_digit_dir(str(tmp_path / "mnist"), n_per_digit=2)
+    dest = str(tmp_path / "out")
+    rc = cli_main([
+        "generate", f"--source={src}", f"--destination={dest}",
+        "--num_3=2", "--num_6=2", "--missing=25",
+    ])
+    assert rc == 0
+    arr = np.loadtxt(os.path.join(dest, "health_MNIST_data.csv"), delimiter=",")
+    assert arr.shape == (80, 1296)
+    # instances came from the files: subjects differ at the same timepoint
+    subj = arr.reshape(4, 20, -1)
+    assert not np.array_equal(subj[0, 0], subj[1, 0])
+
+
+def test_generate_source_missing_files_errors(tmp_path):
+    src = _write_digit_dir(str(tmp_path / "mnist"), n_per_digit=1)
+    with pytest.raises(FileNotFoundError, match="source"):
+        hm.generate_healthmnist(num_3=5, num_6=1, source=src)
