@@ -85,6 +85,12 @@ def main_pretrain(argv) -> int:
 
 
 def main(argv=None) -> int:
+    # Persistent XLA compile cache for every CLI invocation: remote-chip
+    # compiles run 10-500 s, so a timed-out/retried run must not pay twice
+    # (same policy as the benchmark drivers; see utils/compile_cache.py).
+    from lvae_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "pretrain":
         return main_pretrain(argv[1:])

@@ -482,6 +482,29 @@ class LVAEPipeline:
                 f,
             )
         self._save_ckpt(os.path.join(out, "model_final.ckpt"), self.trainer.state)
+        if cfg.hensman:
+            # LVAE.py:353-370: gp_model.pth + zt_list/m/H .pth so a GP
+            # trained here resumes in the reference (bidirectional migration)
+            try:
+                from lvae_tpu.utils.torch_compat import save_reference_gp_state
+
+                state = self.trainer.state
+                tr = state.trainables
+                if state.m_nat is not None:
+                    m_out, h_out = state.m_nat, state.H_nat
+                else:
+                    m_out = tr.m
+                    h_out = tr.h_factor @ jnp.swapaxes(tr.h_factor, -1, -2)
+                save_reference_gp_state(
+                    out, tr.gp, np.asarray(self.trainer.tdata.z),
+                    np.asarray(m_out), np.asarray(h_out),
+                    latent_dim=cfg.latent_dim,
+                    constrain_scales=cfg.constrain_scales,
+                    id_covariate=cfg.id_covariate,
+                    **cfg.kernel_spec_kwargs(),
+                )
+            except Exception as e:  # noqa: BLE001 — torch is optional here
+                print(f"reference GP-state export skipped: {e}")
         if self.cfg.checkpoint_backend == "orbax_async":
             from lvae_tpu.utils.checkpoint import wait_for_async_saves
 
