@@ -112,6 +112,7 @@ def main(argv=None):
     ap.add_argument("--t_obs", type=int, default=10)
     ap.add_argument("--n_query", type=int, default=10)
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--k_subjects", type=int, nargs="+", default=[2, 8])
     a = ap.parse_args(argv)
 
     import jax
@@ -145,6 +146,23 @@ def main(argv=None):
         lambda: pred.predict_trajectory(obs_x, obs_lab, query_lab), reps=10
     )
 
+    # clinic batch scoring: K new subjects per request via the batched
+    # low-rank extension (ops/predict.py gp_predict_extend_batch) — should
+    # stay ~O(K) in the T×T solves and flat in the basis cohort P
+    batch_rows = {}
+    for k in a.k_subjects:
+        kb = pred.aot_compile(
+            batch_size=a.batch, t_obs=a.t_obs, n_query=a.n_query, k_subjects=k
+        )
+        obs_k = np.stack([data[j * a.t_obs:(j + 1) * a.t_obs] for j in range(k)])
+        lab_k = np.stack([obs_lab + j for j in range(k)])
+        lab_k[..., 2] = 1e6 + np.arange(k)[:, None]
+        q_k = np.stack([query_lab.copy() for _ in range(k)])
+        q_k[..., 2] = 1e6 + np.arange(k)[:, None]
+        ms = timed(lambda: kb.predict_trajectories(obs_k, lab_k, q_k))
+        batch_rows[f"K{k}_ms"] = round(ms, 3)
+        batch_rows[f"K{k}_ms_per_subject"] = round(ms / k, 3)
+
     print(
         json.dumps(
             {
@@ -160,6 +178,7 @@ def main(argv=None):
                     "basis_subjects": a.subjects,
                     "t_obs": a.t_obs,
                     "n_query": a.n_query,
+                    "batch_scoring": batch_rows,
                 },
             }
         ),

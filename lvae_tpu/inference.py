@@ -148,16 +148,22 @@ class LVAEPredictor(NamedTuple):
         batch_size: int = 256,
         t_obs: Optional[int] = None,
         n_query: Optional[int] = None,
+        k_subjects: int = 1,
     ) -> "CompiledServing":
         """AOT-compile the hot serving paths at a fixed batch size.
 
-        With ``t_obs``/``n_query`` set, also compiles the single-subject
-        trajectory path: the cohort's GP operators are folded once
-        (ops/predict.py precompute_predict_basis) and each request runs one
-        fixed-shape executable — encode(t_obs frames) → low-rank GP
-        extension → decode(n_query frames).
+        With ``t_obs``/``n_query`` set, also compiles the trajectory path:
+        the cohort's GP operators are folded once (ops/predict.py
+        precompute_predict_basis) and each request runs one fixed-shape
+        executable — encode → low-rank GP extension → decode.
+        ``k_subjects`` sizes the request: K new subjects scored together
+        (gp_predict_extend_batch — the clinic batch-scoring case), cost
+        ~O(K) in the T×T block solves and flat in the cohort size P.
         """
-        return CompiledServing(self, batch_size, t_obs=t_obs, n_query=n_query)
+        return CompiledServing(
+            self, batch_size, t_obs=t_obs, n_query=n_query,
+            k_subjects=k_subjects,
+        )
 
 
 class CompiledServing:
@@ -177,6 +183,7 @@ class CompiledServing:
         batch_size: int,
         t_obs: Optional[int] = None,
         n_query: Optional[int] = None,
+        k_subjects: int = 1,
     ):
         self.batch_size = int(batch_size)
         self.predictor = predictor
@@ -215,6 +222,7 @@ class CompiledServing:
         self._in_shape = in_shape
 
         self.t_obs, self.n_query = t_obs, n_query
+        self.k_subjects = int(k_subjects)
         if t_obs is not None and n_query is not None:
             if self.seq_len and t_obs != self.seq_len:
                 # the trajectory request is ONE subject's observed frames;
@@ -236,7 +244,7 @@ class CompiledServing:
         """
         from lvae_tpu.data.blocks import build_subject_blocks
         from lvae_tpu.ops.predict import (
-            gp_predict_extend,
+            gp_predict_extend_batch,
             precompute_predict_basis,
         )
 
@@ -259,49 +267,88 @@ class CompiledServing:
 
         model, params = pr.model, pr.vae_params
         q = pr.basis_labels.shape[1]
+        k = self.k_subjects
 
-        def _traj(p, basis, kp0, kp1, nz, z_, obs_x, obs_lab, query_lab):
-            mu_obs, _ = model.apply(p, obs_x, deterministic=True, method="encode")
-            ones_t = jnp.ones((t_obs,), jnp.float32)
-            ones_q = jnp.ones((n_query,), jnp.float32)
-            z_pred = gp_predict_extend(
+        def _traj(p, basis, kp0, kp1, nz, z_, obs_x, obs_mask, obs_lab, query_lab):
+            # encoder consumes the K subjects' frames as one flat batch
+            flat = obs_x.reshape((k * t_obs,) + obs_x.shape[2:])
+            mu_obs, _ = model.apply(p, flat, deterministic=True, method="encode")
+            mu_obs = mu_obs.reshape(k, t_obs, -1)
+            ones_q = jnp.ones((k, n_query), jnp.float32)
+            z_pred = gp_predict_extend_batch(
                 pr.spec0, pr.spec1, kp0, kp1, nz, basis,
-                obs_lab, ones_t, mu_obs, query_lab, ones_q, z_,
+                obs_lab, obs_mask, mu_obs, query_lab, ones_q, z_,
             )
-            return model.apply(p, z_pred, deterministic=True, method="decode")
+            return model.apply(
+                p, z_pred.reshape(k * n_query, -1),
+                deterministic=True, method="decode",
+            ).reshape((k, n_query) + self._in_shape[1:])
 
         obs_aval = jax.ShapeDtypeStruct(
-            (t_obs,) + self._in_shape[1:], jnp.float32
+            (k, t_obs) + self._in_shape[1:], jnp.float32
         )
         self._traj = (
             jax.jit(_traj)
             .lower(
                 params, self._basis, pr.gp_params.kp0, pr.gp_params.kp1,
                 pr.noise, jax.ShapeDtypeStruct(pr.z.shape, jnp.float32),
-                obs_aval, jax.ShapeDtypeStruct((t_obs, q), jnp.float32),
-                jax.ShapeDtypeStruct((n_query, q), jnp.float32),
+                obs_aval, jax.ShapeDtypeStruct((k, t_obs), jnp.float32),
+                jax.ShapeDtypeStruct((k, t_obs, q), jnp.float32),
+                jax.ShapeDtypeStruct((k, n_query, q), jnp.float32),
             )
             .compile()
         )
 
-    def predict_trajectory(self, observed_data, observed_labels, query_labels):
-        """Fixed-shape single-subject trajectory prediction (see
-        :func:`~lvae_tpu.ops.predict.gp_predict_extend` for scope)."""
+    def predict_trajectories(
+        self, observed_data, observed_labels, query_labels, observed_mask=None
+    ):
+        """K-subject batch trajectory prediction: one fixed-shape executable.
+
+        ``observed_data [K, t_obs, ...]`` / ``observed_labels [K, t_obs, Q]``
+        — each row one NEW subject's observed frames; ``query_labels
+        [K, n_query, Q]`` — queries for that subject (or a data-free row:
+        zero ``observed_mask`` → population mean). Returns decoded frames
+        ``[K, n_query, ...]``. Cost ~O(K) in the T×T block solves, flat in
+        the basis cohort size (ops/predict.py gp_predict_extend_batch).
+        """
         assert self.t_obs is not None, (
             "bundle compiled without trajectory support: pass t_obs/n_query "
             "to aot_compile"
         )
         pr = self.predictor
+        k = self.k_subjects
         obs = np.asarray(observed_data, np.float32).reshape(
-            (self.t_obs,) + self._in_shape[1:]
+            (k, self.t_obs) + self._in_shape[1:]
         )
+        if observed_mask is None:
+            observed_mask = np.ones((k, self.t_obs), np.float32)
         out = self._traj(
             pr.vae_params, self._basis, pr.gp_params.kp0, pr.gp_params.kp1,
             pr.noise, jnp.asarray(pr.z, jnp.float32), jnp.asarray(obs),
-            jnp.asarray(observed_labels, jnp.float32),
-            jnp.asarray(query_labels, jnp.float32),
+            jnp.asarray(observed_mask, jnp.float32),
+            jnp.asarray(observed_labels, jnp.float32).reshape(k, self.t_obs, -1),
+            jnp.asarray(query_labels, jnp.float32).reshape(k, self.n_query, -1),
         )
         return np.asarray(out)
+
+    def predict_trajectory(self, observed_data, observed_labels, query_labels):
+        """Fixed-shape single-subject trajectory prediction (see
+        :func:`~lvae_tpu.ops.predict.gp_predict_extend` for scope). With a
+        K>1 bundle, the request is padded with data-free ghost subjects."""
+        k = self.k_subjects
+        pr = self.predictor
+        q = pr.basis_labels.shape[1]
+        obs = np.zeros((k, self.t_obs) + self._in_shape[1:], np.float32)
+        obs[0] = np.asarray(observed_data, np.float32).reshape(
+            (self.t_obs,) + self._in_shape[1:]
+        )
+        labs = np.zeros((k, self.t_obs, q), np.float32)
+        labs[0] = np.asarray(observed_labels, np.float32)
+        queries = np.zeros((k, self.n_query, q), np.float32)
+        queries[0] = np.asarray(query_labels, np.float32)
+        mask = np.zeros((k, self.t_obs), np.float32)
+        mask[0] = 1.0
+        return self.predict_trajectories(obs, labs, queries, observed_mask=mask)[0]
 
     def _check_seq_rows(self, n: int) -> None:
         if self.seq_len and n % self.seq_len:

@@ -282,6 +282,83 @@ def precompute_predict_basis(
 
 
 @_full_precision
+def gp_predict_extend_batch(
+    spec0: kx.KernelSpec,
+    spec1: kx.KernelSpec,
+    kp0: kx.KernelParams,
+    kp1: kx.KernelParams,
+    noise: jax.Array,
+    basis: PredictBasis,
+    x_new: jax.Array,
+    mask_new: jax.Array,
+    mu_new: jax.Array,
+    Xq: jax.Array,
+    Xq_mask: jax.Array,
+    z: jax.Array,
+) -> jax.Array:
+    """Posterior latents after observing K new subjects in ONE request.
+
+    ``x_new [K, T, Q]`` / ``mask_new [K, T]`` / ``mu_new [K, T, L]`` — the
+    new subjects' observed covariates and encoded latent means;
+    ``Xq [K, Tq, Q]`` / ``Xq_mask [K, Tq]`` — query block k belongs to new
+    subject k (its id kernel carries the K1 term) or is data-free
+    (mask_new[k] all zero → shared term only). Returns ``[K, Tq, L]``.
+
+    H gains a sum of K rank-M updates ``Σ_k K0zx_k B_k⁻¹ K0xz_k`` and c
+    gains K terms — identical to the full recompute with the K subjects
+    appended to the cohort (proved at 1e-6 in tests/test_predict.py), but
+    per-request cost is K [L,T,T] Cholesky blocks + one [L,M,M] solve:
+    ~O(K) in the block solves and FLAT in the basis-cohort size P (the
+    clinic batch-scoring case the r2 serving path forced into an O(P)
+    full recompute). Fixed shapes (K, T, Tq static) → AOT-compilable.
+    """
+    k, t, q = x_new.shape
+    _, tq, _ = Xq.shape
+    dtype = x_new.dtype
+    mask_new = mask_new.astype(dtype)
+    Xq_mask = Xq_mask.astype(dtype)
+
+    x_flat = x_new.reshape(k * t, q)
+    k0xz_n = kx.kernel_matrix(
+        spec0, kp0, x_flat, z, mask1=mask_new.reshape(k * t)
+    )
+    latent_dim = k0xz_n.shape[0]
+    m_ind = z.shape[0]
+    k0xz_n = k0xz_n.reshape(latent_dim, k, t, m_ind)  # [L,K,T,M]
+    k0Xz = kx.kernel_matrix(
+        spec0, kp0, Xq.reshape(k * tq, q), z, mask1=Xq_mask.reshape(k * tq)
+    ).reshape(latent_dim, k, tq, m_ind)
+
+    # per-subject B_k = K1 + noise (unit diag on padding) — the same masked
+    # block operator the trainer uses
+    b_n = kx.block_b_operator(spec1, kp1, x_new, mask_new, noise)
+    _, ib_n = la.cholesky_and_inverse(b_n)  # [L, K, T, T]
+
+    ib_k0xz = ib_n @ k0xz_n  # [L, K, T, M]
+    h = basis.h_nojit + jnp.einsum("lktm,lktn->lmn", k0xz_n, ib_k0xz)
+    h = kx.add_rel_jitter(la.symmetrize(h))
+    lh = la.cholesky(h)
+
+    mu = (mu_new * mask_new[..., None]).transpose(2, 0, 1)  # [L, K, T]
+    ib_mu = jnp.einsum("lktu,lku->lkt", ib_n, mu)
+    c = basis.c + jnp.einsum("lktm,lkt->lm", k0xz_n, ib_mu)
+
+    sol = la.cho_solve(lh, c[..., None])[..., 0]  # H⁻¹ c  [L, M]
+    shared = jnp.einsum("lkam,lm->lka", k0Xz, sol)  # [L, K, Tq]
+
+    # each new subject's μ̃ block and its K1 cross-term to its own queries
+    back = jnp.einsum("lktm,lm->lkt", k0xz_n, sol)
+    mu_tilde_n = ib_mu - jnp.einsum("lktu,lku->lkt", ib_n, back)  # [L, K, T]
+    nb = kp1.raw_scale.ndim - 1
+    k1_cross = jax.vmap(
+        lambda xq, mq, xt, mt: kx.kernel_matrix(spec1, kp1, xq, xt, mq, mt),
+        out_axes=nb,
+    )(Xq, Xq_mask, x_new, mask_new)  # [L, K, Tq, T]
+    id_term = jnp.einsum("lkat,lkt->lka", k1_cross, mu_tilde_n)
+
+    return (shared + id_term).transpose(1, 2, 0)  # [K, Tq, L]
+
+
 def gp_predict_extend(
     spec0: kx.KernelSpec,
     spec1: kx.KernelSpec,
@@ -304,42 +381,9 @@ def gp_predict_extend(
     subject with no data at all (K1 vanishes → shared term only, matching
     the full path). Queries for a subject already in the BASIS cohort are
     out of scope here — use :func:`gp_predict`, which aligns them to their
-    training block.
-
-    Fixed shapes (T, Tq static) → AOT-compilable; per-request cost is one
-    [L,T,T] and one [L,M,M] Cholesky instead of the full cohort's.
+    training block. The K=1 view of :func:`gp_predict_extend_batch`.
     """
-    t, q = x_new.shape
-    tq, _ = Xq.shape
-    m_ind = z.shape[0]
-    dtype = x_new.dtype
-    mask_new = mask_new.astype(dtype)
-    Xq_mask = Xq_mask.astype(dtype)
-
-    k0xz_n = kx.kernel_matrix(spec0, kp0, x_new, z, mask1=mask_new)  # [L,T,M]
-    k0Xz = kx.kernel_matrix(spec0, kp0, Xq, z, mask1=Xq_mask)  # [L,Tq,M]
-
-    k1_n = kx.kernel_matrix(spec1, kp1, x_new, x_new, mask_new, mask_new)
-    diag_vals = mask_new[None, :] * noise[:, None] + (1.0 - mask_new)[None, :]
-    b_n = k1_n + diag_vals[:, :, None] * jnp.eye(t, dtype=dtype)[None]
-    _, ib_n = la.cholesky_and_inverse(b_n)  # [L, T, T]
-
-    ib_k0xz = ib_n @ k0xz_n  # [L, T, M]
-    h = basis.h_nojit + jnp.einsum("ltm,ltn->lmn", k0xz_n, ib_k0xz)
-    h = kx.add_rel_jitter(la.symmetrize(h))
-    lh = la.cholesky(h)
-
-    mu = (mu_new * mask_new[:, None]).T  # [L, T]
-    ib_mu = jnp.einsum("ltu,lu->lt", ib_n, mu)
-    c = basis.c + jnp.einsum("ltm,lt->lm", k0xz_n, ib_mu)
-
-    sol = la.cho_solve(lh, c[..., None])[..., 0]  # H⁻¹ c  [L, M]
-    shared = jnp.einsum("lam,lm->la", k0Xz, sol)  # [L, Tq]
-
-    # the new subject's μ̃ block and its K1 cross-term to the queries
-    back = jnp.einsum("ltm,lm->lt", k0xz_n, sol)
-    mu_tilde_n = ib_mu - jnp.einsum("ltu,lu->lt", ib_n, back)  # [L, T]
-    k1_cross = kx.kernel_matrix(spec1, kp1, Xq, x_new, Xq_mask, mask_new)
-    id_term = jnp.einsum("lat,lt->la", k1_cross, mu_tilde_n)
-
-    return (shared + id_term).T  # [Tq, L]
+    return gp_predict_extend_batch(
+        spec0, spec1, kp0, kp1, noise, basis,
+        x_new[None], mask_new[None], mu_new[None], Xq[None], Xq_mask[None], z,
+    )[0]

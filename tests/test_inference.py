@@ -118,3 +118,47 @@ def test_aot_trajectory_matches_full_recompute(tmp_path):
     full2 = pred.predict_trajectory(obs_x, obs_lab, far.labels[3:])
     fast2 = bundle.predict_trajectory(obs_x, obs_lab, far.labels[3:])
     np.testing.assert_allclose(fast2, full2, rtol=5e-4, atol=5e-4)
+
+
+def test_aot_batch_trajectories_match_full_recompute(tmp_path):
+    """K=2 new subjects in one bundle request (predict_trajectories) equal
+    the full-cohort recompute with BOTH subjects' observations in the basis;
+    the K>1 bundle's single-subject entry (ghost-padded) still matches the
+    K=1 result."""
+    cfg = make_cfg(str(tmp_path), epochs=2, run_validation=False,
+                   generate_images=False, run_tests=False)
+    ds = healthmnist_like(p=6, t=5, seed=0)
+    pipeline = LVAEPipeline(cfg, {"train": ds})
+    pipeline.build_trainer()
+    pipeline.train()
+    pred = LVAEPredictor.from_pipeline(pipeline)
+
+    subs = []
+    for j, seed in enumerate((9, 13)):
+        new = healthmnist_like(p=1, t=5, seed=seed)
+        new.labels[:, 2] = 777.0 + j  # unseen ids
+        subs.append(new)
+    obs_x = np.stack([s.data[:3] for s in subs])  # [2, 3, ...]
+    obs_lab = np.stack([s.labels[:3] for s in subs])
+    query_lab = np.stack([s.labels[3:] for s in subs])  # [2, 2, Q]
+
+    # full path: both subjects' observations join the regression basis
+    all_obs_x = np.concatenate([s.data[:3] for s in subs])
+    all_obs_lab = np.concatenate([s.labels[:3] for s in subs])
+    full = pred.predict_trajectory(
+        all_obs_x, all_obs_lab, query_lab.reshape(-1, query_lab.shape[-1])
+    ).reshape(2, 2, *subs[0].data.shape[1:])
+
+    bundle = pred.aot_compile(batch_size=8, t_obs=3, n_query=2, k_subjects=2)
+    fast = bundle.predict_trajectories(obs_x, obs_lab, query_lab)
+    assert fast.shape == full.shape
+    np.testing.assert_allclose(fast, full, rtol=5e-4, atol=5e-4)
+
+    # K>1 bundle serving a single-subject request: ghost-padded, equals the
+    # K=1 bundle's answer
+    b1 = pred.aot_compile(batch_size=8, t_obs=3, n_query=2, k_subjects=1)
+    one = b1.predict_trajectory(subs[0].data[:3], subs[0].labels[:3],
+                                subs[0].labels[3:])
+    padded = bundle.predict_trajectory(subs[0].data[:3], subs[0].labels[:3],
+                                       subs[0].labels[3:])
+    np.testing.assert_allclose(padded, one, rtol=1e-5, atol=1e-5)

@@ -161,3 +161,86 @@ def test_extend_path_equals_full_recompute_f64():
             jnp.asarray(query_x), ones_q, z,
         )
         np.testing.assert_allclose(np.asarray(fast), full, rtol=1e-9, atol=1e-9)
+
+
+def test_extend_batch_equals_full_recompute():
+    """K new subjects in ONE request (gp_predict_extend_batch) == full
+    recompute with the K subjects appended to the cohort, at 1e-6, for
+    K in {2, 8} — incl. a ragged new-subject band and one data-free subject
+    (VERDICT r2 item 5's done criterion)."""
+    from lvae_tpu.data.blocks import build_subject_blocks
+    from lvae_tpu.ops.predict import (
+        gp_predict_extend_batch,
+        precompute_predict_basis,
+        predict_latents,
+    )
+
+    for k_new in (2, 8):
+        rng = np.random.default_rng(60 + k_new)
+        basis_x = build_cohort(rng, [0, 1, 2, 3, 4], (2, 5))
+        L, M = 3, 6
+        spec0, spec1 = kx.split_kernel_spec(
+            cat_kernel=[2], sqexp_kernel=[0],
+            cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+            id_covariate=2,
+        )
+        kp0 = kx.init_kernel_params(spec0, latent_dim=L, dtype=jnp.float64)
+        kp1 = kx.init_kernel_params(spec1, latent_dim=L, dtype=jnp.float64)
+        kp0 = kp0._replace(
+            raw_scale=kp0.raw_scale + 0.2 * rng.normal(size=kp0.raw_scale.shape))
+        kp1 = kp1._replace(
+            raw_scale=kp1.raw_scale + 0.2 * rng.normal(size=kp1.raw_scale.shape))
+        noise = jnp.asarray(0.6 + rng.uniform(0, 0.4, size=L))
+        n = basis_x.shape[0]
+        z = jnp.asarray(
+            basis_x[rng.choice(n, M, replace=False)]
+            + 0.01 * rng.normal(size=(M, 4))
+        )
+        basis_mu = rng.normal(size=(n, L))
+
+        t_pad, n_q = 4, 3
+        # K new subjects, ragged true lengths (2..t_pad), last one data-free
+        x_new = np.zeros((k_new, t_pad, 4))
+        mask_new = np.zeros((k_new, t_pad))
+        mu_new = np.zeros((k_new, t_pad, L))
+        Xq = np.zeros((k_new, n_q, 4))
+        flat_obs_x, flat_obs_mu = [], []
+        for j in range(k_new):
+            sid = 100 + j
+            tl = 0 if j == k_new - 1 else int(rng.integers(2, t_pad + 1))
+            xo = build_cohort(rng, [sid], (t_pad, t_pad + 1))[:tl]
+            mo = rng.normal(size=(tl, L))
+            x_new[j, :tl] = xo
+            mask_new[j, :tl] = 1.0
+            mu_new[j, :tl] = mo
+            flat_obs_x.append(xo)
+            flat_obs_mu.append(mo)
+            q = build_cohort(rng, [sid], (n_q, n_q + 1))[:n_q]
+            q[:, 0] += 10.0  # future times
+            Xq[j] = q
+        flat_obs_x = np.concatenate(flat_obs_x) if flat_obs_x else np.zeros((0, 4))
+        flat_obs_mu = np.concatenate(flat_obs_mu) if flat_obs_mu else np.zeros((0, L))
+
+        # full path: all K subjects' observations join the regression basis
+        full = predict_latents(
+            spec0, spec1, kp0, kp1, noise,
+            np.concatenate([flat_obs_x, basis_x]),
+            np.concatenate([flat_obs_mu, basis_mu]),
+            Xq.reshape(k_new * n_q, 4), z, id_covariate=2, eps=EPS,
+        ).reshape(k_new, n_q, L)
+
+        blocks = build_subject_blocks(basis_x, 2)
+        xb = jnp.asarray(basis_x[blocks.index] * blocks.mask[..., None])
+        mu_b = jnp.asarray(basis_mu[blocks.index] * blocks.mask[..., None])
+        basis = precompute_predict_basis(
+            spec0, spec1, kp0, kp1, noise, xb,
+            jnp.asarray(blocks.mask, jnp.float64), mu_b, z, eps=EPS,
+        )
+        fast = gp_predict_extend_batch(
+            spec0, spec1, kp0, kp1, noise, basis,
+            jnp.asarray(x_new), jnp.asarray(mask_new), jnp.asarray(mu_new),
+            jnp.asarray(Xq), jnp.ones((k_new, n_q), jnp.float64), z,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast), full, rtol=1e-6, atol=1e-9
+        )
