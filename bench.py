@@ -103,11 +103,16 @@ def bench_jax():
     assert np.isfinite(m.net), m
     epoch_s = float(np.median(times))
 
+    kind = jax.devices()[0].device_kind
+    # TPU v5e: 197 TFLOP/s bf16 / ~98 TFLOP/s f32 MXU, 819 GB/s HBM
+    peak_flops = 197e12 if "v5" in kind else 275e12
+    hbm_bw = 819e9 if "v5" in kind else 1200e9
+
     # ---- roofline accounting: XLA's cost model for the compiled program.
     # HloCostAnalysis counts each while/scan BODY once (verified: 'flops' is
     # identical for 1-, 5- and 25-epoch chunks), so the reported number is
     # one batch step (+ small setup); an epoch is n_batches executions.
-    roofline = {}
+    roofline = {"device_kind": kind}
     try:
         comp = trainer.epochs_fn.lower(trainer.state, trainer.tdata, chunk).compile()
         ca = comp.cost_analysis()
@@ -115,24 +120,61 @@ def bench_jax():
         n_batches = P // SPB
         flops_epoch = float(ca.get("flops", 0.0)) * n_batches
         bytes_epoch = float(ca.get("bytes accessed", 0.0)) * n_batches
-        kind = jax.devices()[0].device_kind
-        # TPU v5e: 197 TFLOP/s bf16 / ~98 TFLOP/s f32 MXU, 819 GB/s HBM
-        peak_flops = 197e12 if "v5" in kind else 275e12
-        hbm_bw = 819e9 if "v5" in kind else 1200e9
         ach = flops_epoch / epoch_s
         hbm = bytes_epoch / epoch_s
-        roofline = {
+        roofline.update({
             "flops_per_epoch_G": round(flops_epoch / 1e9, 2),
             "hbm_bytes_per_epoch_G": round(bytes_epoch / 1e9, 2),
             "achieved_tflops": round(ach / 1e12, 3),
             "mfu_pct_bf16_peak": round(100 * ach / peak_flops, 2),
             # modeled traffic (per-op operand+output bytes, fusion-internal
-            # traffic included) — an upper bound on real HBM bytes
+            # traffic included) — a known OVER-estimate of real HBM bytes
+            # (reported >100% in r2); superseded by the measured_* fields
             "hbm_modeled_util_pct": round(100 * hbm / hbm_bw, 1),
-            "device_kind": kind,
-        }
+        })
     except Exception as e:  # noqa: BLE001
         print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+
+    # ---- MEASURED roofline: profile one chunk dispatch and read the real
+    # per-program device time / HBM bytes / FLOPs from the TPU trace
+    # (xprof op_profile; VERDICT r2 item 2 — the modeled bytes exceeded the
+    # physical peak, so the bound-ness narrative must rest on measurement).
+    try:
+        import glob
+        import json as _json
+        import tempfile
+
+        logdir = tempfile.mkdtemp(prefix="lvae_bench_prof_")
+        with jax.profiler.trace(logdir):
+            trainer.run_epochs(chunk)
+        from xprof.convert import raw_to_tool_data as rtd
+
+        xp = glob.glob(logdir + "/plugins/profile/*/*.xplane.pb")
+        data, _ = rtd.xspace_to_tool_data(xp, "op_profile", {})
+        prof = _json.loads(data)
+        progs = [
+            c for c in prof["byProgram"].get("children", [])
+            if c["name"].startswith("jit_")
+        ]
+        mt = max(progs, key=lambda c: c["metrics"].get("rawTime", 0))["metrics"]
+        dev_s = mt["rawTime"] / 1e12  # ps → s, device-busy time of the chunk
+        hbm_bytes = float(mt["rawBytesAccessedArray"][0])
+        flops = float(mt.get("rawFlops", 0.0))
+        roofline.update({
+            "measured_device_ms_per_epoch": round(dev_s / chunk * 1e3, 3),
+            "measured_hbm_bytes_per_epoch_G": round(hbm_bytes / chunk / 1e9, 3),
+            "measured_hbm_util_pct": round(100 * (hbm_bytes / dev_s) / hbm_bw, 1),
+            "measured_mfu_pct_bf16_peak": round(
+                100 * (flops / dev_s) / peak_flops, 2
+            ),
+            # xprof's own utilization fractions (its v5e hardware model)
+            "xprof_flops_util_pct": round(100 * float(mt.get("flops", 0.0)), 2),
+            "xprof_hbm_bw_util_pct": round(
+                100 * float(mt.get("bandwidthUtils", [0.0])[0]), 1
+            ),
+        })
+    except Exception as e:  # noqa: BLE001
+        print(f"# measured roofline unavailable: {e}", file=sys.stderr)
     return epoch_s, compile_s, m, roofline
 
 

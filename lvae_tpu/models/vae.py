@@ -39,6 +39,25 @@ def floored_log_vy(raw_log_vy: jax.Array) -> jax.Array:
     return MIN_LOG_VY + jax.nn.softplus(raw_log_vy - MIN_LOG_VY)
 
 
+# 2x2/stride-2 max pooling as reshape+max instead of lax.reduce_window.
+# Forward-identical (windows don't overlap); the BACKWARD lowers to fused
+# compare/multiply ops instead of TPU select-and-scatter, which the measured
+# epoch profile showed costing 8.4% of device time (tools/measure_roofline.py,
+# r3). MEASURED NEGATIVE on the v5e: the reshape variant's backward emits
+# 2.3x the HBM traffic of select-and-scatter and the epoch slows 13.5 ->
+# 15.8 ms device time, so the default stays off (A/B: tools/bench_maxpool
+# note in benchmarks/README.md). Subgradient choice on ties differs (even
+# split vs single winner) — both valid; forward torch parity is unaffected.
+use_reshape_max_pool: bool = False
+
+
+def _max_pool_2x2(h: jax.Array) -> jax.Array:
+    if not use_reshape_max_pool:
+        return nn.max_pool(h, (2, 2), strides=(2, 2))
+    n, hh, ww, c = h.shape
+    return h.reshape(n, hh // 2, 2, ww // 2, 2, c).max(axis=(2, 4))
+
+
 class ConvVAE(nn.Module):
     """Convolutional VAE for single-channel images (VAE.py:16-162).
 
@@ -89,9 +108,9 @@ class ConvVAE(nn.Module):
         """images [N, 36, 36, 1] → (mu, log_var) each [N, L] (VAE.py:90-107)."""
         x = x.astype(self.dtype)
         h = nn.relu(self.conv1(x))
-        h = self.drop2d(nn.max_pool(h, (2, 2), strides=(2, 2)), deterministic=deterministic)
+        h = self.drop2d(_max_pool_2x2(h), deterministic=deterministic)
         h = nn.relu(self.conv2(h))
-        h = self.drop2d(nn.max_pool(h, (2, 2), strides=(2, 2)), deterministic=deterministic)
+        h = self.drop2d(_max_pool_2x2(h), deterministic=deterministic)
         h = h.reshape(h.shape[0], -1)  # [N, (hw/4)^2 * 32]
         h = self.drop(nn.relu(self.fc1(h)), deterministic=deterministic)
         h = self.drop(nn.relu(self.fc21(h)), deterministic=deterministic)

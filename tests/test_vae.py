@@ -125,3 +125,38 @@ def test_rnn_bidirectional_full_receptive_field():
     # and the forward direction: perturbing t=0 reaches the last timepoint
     xp = x.at[0].add(1.0)
     assert np.abs(moments(xp)[-1] - base[-1]).max() > 1e-6
+
+
+def test_reshape_max_pool_forward_identity():
+    """The reshape-based 2x2 pool (kept as a measured-negative A/B toggle,
+    benchmarks/README.md r3 roofline) is forward-identical to nn.max_pool on
+    non-overlapping windows; the ConvVAE forward is bitwise-unchanged."""
+    import flax.linen as nn
+
+    rng = np.random.default_rng(7)
+    h = jnp.asarray(rng.standard_normal((3, 36, 36, 16)), jnp.float32)
+    ref = nn.max_pool(h, (2, 2), strides=(2, 2))
+    np.testing.assert_array_equal(np.asarray(_forced(h)), np.asarray(ref))
+
+
+def _forced(h):
+    old = mv.use_reshape_max_pool
+    mv.use_reshape_max_pool = True
+    try:
+        return mv._max_pool_2x2(h)
+    finally:
+        mv.use_reshape_max_pool = old
+
+
+def test_convvae_forward_same_under_pool_toggle():
+    model, params = init_conv()
+    x = jnp.asarray(np.random.default_rng(3).uniform(size=(2, 36, 36, 1)), jnp.float32)
+    recon0, mu0, _ = model.apply(params, x, deterministic=True)
+    old = mv.use_reshape_max_pool
+    mv.use_reshape_max_pool = True
+    try:
+        recon1, mu1, _ = model.apply(params, x, deterministic=True)
+    finally:
+        mv.use_reshape_max_pool = old
+    np.testing.assert_array_equal(np.asarray(mu0), np.asarray(mu1))
+    np.testing.assert_array_equal(np.asarray(recon0), np.asarray(recon1))
