@@ -364,3 +364,7 @@ class ShardedHensmanTrainer(_ShardedTrainer):
             trainer.model, trainer.cfg, trainer.optimizer, trainer.tables,
             trainer.subjects_per_batch, mesh=mesh,
         )
+        # drop any executables compiled for the pre-sharded program (the AOT
+        # key also covers shardings via aot_cache.avals, so disk entries from
+        # the unsharded trainer can never be loaded here)
+        trainer._aot = {}

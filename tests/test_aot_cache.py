@@ -1,0 +1,110 @@
+"""AOT executable cache (utils/aot_cache.py): cold-start skip of trace+lower.
+
+On the real chip the full Hensman epoch program round-trips (measured r3:
+2.0 s load+exec vs 85.6 s trace+compile, bitwise-identical trajectory —
+benchmarks/README.md). XLA:CPU's AOT loader is incomplete on real programs,
+so under the CPU test backend the cache is default-disabled and these tests
+cover the mechanics (keying, device restore, corruption fallback, the CPU
+guard) with a trivial program where CPU AOT does work.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvae_tpu.data.blocks import build_subject_blocks
+from lvae_tpu.models import vae as mv
+from lvae_tpu.train import hensman as th
+from lvae_tpu.train import state as st
+from lvae_tpu.utils import aot_cache
+
+from tests.test_training import make_cfg, tiny_cohort
+
+
+def build_trainer(subjects_per_batch=3, seed=0):
+    ds = tiny_cohort()
+    blocks = build_subject_blocks(np.asarray(ds.labels), id_covariate=2)
+    cfg = make_cfg(natural_gradient=True)
+    model = mv.SimpleVAE(latent_dim=3, num_dim=20)
+    z = st.init_inducing_points(np.asarray(ds.labels), 5, seed=0)
+    return th.HensmanTrainer(
+        model, cfg, ds, blocks, z, subjects_per_batch=subjects_per_batch,
+        seed=seed,
+    )
+
+
+def test_aot_disabled_on_cpu_backend(tmp_path, monkeypatch):
+    """Default: no artifacts on the CPU backend (XLA:CPU AOT loader is
+    incomplete); training must still work through the compiled fallback."""
+    monkeypatch.setenv("LVAE_AOT_CACHE", str(tmp_path))
+    monkeypatch.delenv("LVAE_AOT", raising=False)
+    t1 = build_trainer()
+    ms = t1.run_epochs(2)
+    assert np.isfinite(ms[-1].net)
+    assert not any(f.endswith(".pkl") for f in os.listdir(tmp_path))
+
+
+def test_aot_disabled_by_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("LVAE_AOT_CACHE", str(tmp_path))
+    monkeypatch.setenv("LVAE_AOT", "0")
+    assert not aot_cache.enabled()
+
+
+def _trivial_compiled(scale: float):
+    @jax.jit
+    def f(x):
+        return (x * scale).sum()
+
+    x = jnp.arange(16.0)
+    return f.lower(x).compile(), x
+
+
+def test_aot_roundtrip_trivial_program(tmp_path, monkeypatch):
+    """save() → load() restores a runnable executable on the saved device
+    assignment (1 of the 8 virtual devices) with identical results."""
+    monkeypatch.setenv("LVAE_AOT_CACHE", str(tmp_path))
+    monkeypatch.setenv("LVAE_AOT", "force")
+    compiled, x = _trivial_compiled(2.0)
+    key = aot_cache.cache_key("trivial", aot_cache.avals(x))
+    assert aot_cache.save(key, compiled)
+    fn = aot_cache.load(key)
+    assert fn is not None
+    assert float(fn(x)) == float(compiled(x)) == 240.0
+
+
+def test_aot_key_sensitivity(monkeypatch):
+    k1 = aot_cache.cache_key("tag", "a", 3)
+    assert k1 == aot_cache.cache_key("tag", "a", 3)  # stable
+    assert k1 != aot_cache.cache_key("tag", "a", 4)  # static arg
+    assert k1 != aot_cache.cache_key("other", "a", 3)  # tag
+    x32 = jnp.zeros((4,), jnp.float32)
+    x64 = jnp.zeros((4,), jnp.float64)
+    assert aot_cache.avals(x32) != aot_cache.avals(x64)  # dtype in avals
+    assert aot_cache.avals((x32, 5)) != aot_cache.avals((x32, 6))  # statics
+
+
+def test_aot_corrupt_artifact_returns_none_and_removes(tmp_path, monkeypatch):
+    monkeypatch.setenv("LVAE_AOT_CACHE", str(tmp_path))
+    monkeypatch.setenv("LVAE_AOT", "force")
+    path = os.path.join(str(tmp_path), "broken-key.pkl")
+    with open(path, "wb") as f:
+        f.write(b"not a pickle")
+    assert aot_cache.load("broken-key") is None
+    assert not os.path.exists(path)
+
+
+def test_aot_missing_device_ids_fall_back(tmp_path, monkeypatch):
+    """An artifact recorded for device ids not present here must miss."""
+    import pickle
+
+    monkeypatch.setenv("LVAE_AOT_CACHE", str(tmp_path))
+    monkeypatch.setenv("LVAE_AOT", "force")
+    compiled, x = _trivial_compiled(2.0)
+    from jax.experimental import serialize_executable as se
+
+    payload, in_tree, out_tree = se.serialize(compiled)
+    with open(os.path.join(str(tmp_path), "alien.pkl"), "wb") as f:
+        pickle.dump((payload, in_tree, out_tree, [999]), f)
+    assert aot_cache.load("alien") is None
