@@ -62,11 +62,13 @@ def main(argv=None):
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--dump_state", type=str, default=None,
                    help="pickle trained state + eval arrays for offline analysis")
-    p.add_argument("--min_gp_recon_ratio", type=float, default=1.1,
-                   help="hard-assert GP-pred MSE > ratio * recon MSE "
-                        "(discrimination check; calibrated at latent_dim=32 — "
-                        "lower dims compress the gap because recon itself "
-                        "degrades, use 1.0 for dim sweeps)")
+    p.add_argument("--min_ablation_ratio", type=float, default=1.05,
+                   help="PRIMARY discrimination assert: removing the subject "
+                        "kernel K1 must degrade future prediction by at least "
+                        "this factor (latent- or image-space, matched budget "
+                        "— same run, scales zeroed). Seed/dim-stable, unlike "
+                        "the GP/recon ratio which is reported descriptively "
+                        "only (r2 honesty note: crosses 1.0 at some seeds)")
     a = p.parse_args(argv)
 
     import jax
@@ -284,6 +286,9 @@ def main(argv=None):
                     "gp_vs_recon_ratio": round(gp_vs_recon, 3),
                     "k1_ablation_mse": round(result_ablated.gp_mse, 5),
                     "k1_ablation_ratio": round(ablation_ratio, 3),
+                    "k1_latent_ablation_ratio": round(lat_ratio, 3),
+                    "seed": a.seed,
+                    "latent_dim": a.latent_dim,
                     "imputation_mse_missing_pixels": round(imput_mse, 5),
                     "paper_lvae_dim32": 0.025,
                     "subjects": a.subjects,
@@ -294,14 +299,18 @@ def main(argv=None):
         ),
         flush=True,
     )
-    # hard discrimination checks LAST, so sweep runs always record numbers
-    assert result.gp_mse > a.min_gp_recon_ratio * result.vae_mse, (
-        "benchmark not discriminative: GP future prediction is no harder "
-        f"than reconstruction ({result.gp_mse:.5f} vs {result.vae_mse:.5f})"
-    )
-    assert lat_ratio > 1.05 or ablation_ratio > 1.05, (
+    # PRIMARY discrimination assert LAST, so sweep runs always record
+    # numbers first. The matched-budget K1 ablation (same trained model,
+    # subject-kernel scales zeroed) is the seed/dim-stable signal (VERDICT
+    # r2 item 7): if removing the subject kernel doesn't hurt prediction,
+    # the benchmark isn't exercising the GP. The GP-pred vs recon ratio is
+    # reported above descriptively only — it crosses 1.0 at some seeds/dims
+    # because recon quality itself moves, not because the GP broke.
+    thr = a.min_ablation_ratio
+    assert lat_ratio > thr or ablation_ratio > thr, (
         "benchmark not discriminative: ablating the subject kernel did not "
-        f"degrade prediction (image {ablation_ratio:.3f}, latent {lat_ratio:.3f})"
+        f"degrade prediction (image {ablation_ratio:.3f}, latent "
+        f"{lat_ratio:.3f}, threshold {thr})"
     )
     return result
 
