@@ -151,9 +151,9 @@ def main(argv=None):
     # stay ~O(K) in the T×T solves and flat in the basis cohort P
     batch_rows = {}
     for k in a.k_subjects:
-        kb = pred.aot_compile(
-            batch_size=a.batch, t_obs=a.t_obs, n_query=a.n_query, k_subjects=k
-        )
+        # sibling bundle: reuses the batch executables + folded basis,
+        # compiles only the K-shaped trajectory executable
+        kb = bundle.for_k_subjects(k)
         obs_k = np.stack([data[j * a.t_obs:(j + 1) * a.t_obs] for j in range(k)])
         lab_k = np.stack([obs_lab + j for j in range(k)])
         lab_k[..., 2] = 1e6 + np.arange(k)[:, None]

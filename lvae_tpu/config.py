@@ -120,9 +120,13 @@ class LVAEConfig:
     checkpoint_backend: str = "pickle"
     learn_inducing: bool = False  # optimise inducing points (hensman only)
     # Ragged-T cohorts: pad subjects into <=T_buckets length buckets instead
-    # of one global T_max (SURVEY §7 step 7). 1 = single bucket (exact
-    # semantics either way — masking makes padding exact; buckets only cut
-    # the padded-Cholesky waste, elbo_functions.py:219-307 cost ∝ Σ T_s³).
+    # of one global T_max (SURVEY §7 step 7). 1 = single bucket. Per-batch
+    # BOUND VALUES are exact either way (masking makes padding exact;
+    # buckets only cut the padded-Cholesky waste, elbo_functions.py:219-307
+    # cost ∝ Σ T_s³) — but the minibatch STREAM differs: buckets are
+    # visited in fixed ascending-cap order and batches never mix length
+    # bands, so the stochastic (m, H)/Adam trajectory is not sample-for-
+    # sample identical to the uniformly shuffled single-bucket trainer.
     T_buckets: int = 1
     profile: bool = False
     auto_recover: bool = False  # restore last good checkpoint on non-finite state

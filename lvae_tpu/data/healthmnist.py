@@ -241,20 +241,29 @@ def generate_split(
     splits=(("", 1.0),),
     source: Optional[str] = None,
 ):
-    """Generate one cohort per named split, e.g. train/validation/test/prediction."""
+    """Generate one cohort per named split, e.g. train/validation/test/prediction.
+
+    With ``source``, each split draws DISJOINT real digit-image instances:
+    the per-digit file offset advances past every earlier split's draw, so
+    a model can never see a test subject's source instance during training
+    (Health_MNIST_generate.py samples each cohort from separate invocations
+    for the same reason).
+    """
     out = {}
+    offset = 0
     for i, (name, frac) in enumerate(splits):
         n3 = max(1, int(round(num_3 * frac)))
         n6 = max(1, int(round(num_6 * frac)))
         suffix = f"_{name}" if name else ""
         out[name] = generate_healthmnist(
             n3, n6, missing, seed=seed + i, destination=destination,
-            source=source,
+            source=source, source_offset=offset,
             data_file_name=f"health_MNIST_data{suffix}.csv",
             data_masked_file_name=f"health_MNIST_data_masked{suffix}.csv",
             labels_file_name=f"health_MNIST_label{suffix}.csv",
             mask_file_name=f"mask{suffix}.csv",
         )
+        offset += max(n3, n6)
     return out
 
 

@@ -236,17 +236,39 @@ class CompiledServing:
                 )
             self._compile_trajectory(t_obs, n_query)
 
+    def for_k_subjects(self, k_subjects: int) -> "CompiledServing":
+        """A sibling bundle serving ``k_subjects``-sized requests.
+
+        Shares this bundle's batch executables (encode/decode/impute) and
+        the folded O(P) cohort basis; compiles ONLY the K-shaped trajectory
+        executable. Adding a request size to a serving fleet therefore
+        costs one small compile, not a full ``CompiledServing`` rebuild
+        (on the remote chip the batch-path compiles alone run 10-500 s).
+        """
+        if self.t_obs is None or self.n_query is None:
+            raise ValueError(
+                "bundle compiled without trajectory support: pass "
+                "t_obs/n_query to aot_compile"
+            )
+        import copy
+
+        sib = copy.copy(self)
+        sib.k_subjects = int(k_subjects)
+        sib._compile_traj_executable(self.t_obs, self.n_query)
+        return sib
+
     def _compile_trajectory(self, t_obs: int, n_query: int) -> None:
         """One executable per request: encode → GP low-rank extend → decode.
 
         The cohort-level block solves (O(P) subjects) happen HERE, once;
         request cost is independent of the basis cohort size.
         """
+        self._fold_basis()
+        self._compile_traj_executable(t_obs, n_query)
+
+    def _fold_basis(self) -> None:
         from lvae_tpu.data.blocks import build_subject_blocks
-        from lvae_tpu.ops.predict import (
-            gp_predict_extend_batch,
-            precompute_predict_basis,
-        )
+        from lvae_tpu.ops.predict import precompute_predict_basis
 
         pr = self.predictor
         blocks = build_subject_blocks(pr.basis_labels, pr.id_covariate)
@@ -265,6 +287,10 @@ class CompiledServing:
         )
         jax.block_until_ready(self._basis)
 
+    def _compile_traj_executable(self, t_obs: int, n_query: int) -> None:
+        from lvae_tpu.ops.predict import gp_predict_extend_batch
+
+        pr = self.predictor
         model, params = pr.model, pr.vae_params
         q = pr.basis_labels.shape[1]
         k = self.k_subjects

@@ -271,9 +271,35 @@ def make_epochs_fn(
             return state, jax.tree.map(jnp.mean, ms_cat)
 
         state, ms = jax.lax.scan(one_epoch, state, None, length=n_epochs)
+        if mesh is not None:
+            state = _pin_state_sharding(state, mesh, cfg.latent_dim)
         return state, ms
 
     return epochs_fn
+
+
+def _pin_state_sharding(state, mesh, latent_dim: int):
+    """Constrain the returned state to the placement the sharded trainer
+    feeds in (parallel/mesh.py shard_hensman_state: leading-[L] leaves on
+    'latent', the rest replicated). Without this GSPMD is free to hand back
+    e.g. the VAE latent-head kernels latent-sharded; the next chunk's AOT
+    ``Compiled`` call (HensmanTrainer._executable_for) then REJECTS the
+    state whose shardings no longer match the lowered in_shardings — plain
+    jit would have silently recompiled every chunk instead."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_lat = mesh.shape["latent"]
+
+    def pin(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x  # scalars (step, rng key) can only be replicated
+        if x.shape[0] == latent_dim and latent_dim % n_lat == 0:
+            spec = P("latent", *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(pin, state)
 
 
 def build_block_table(blocks, subjects_per_batch: int, dtype=jnp.float32) -> BlockTable:
@@ -316,11 +342,16 @@ class HensmanTrainer:
         dtype=jnp.float32,
         t_buckets: int = 1,
     ):
+        import os
+
         self.model = model
         self.cfg = cfg
         self.blocks = blocks
         self.subjects_per_batch = subjects_per_batch
         self.optimizer = st.make_optimizer(learning_rate)
+        # fingerprint of everything the optimizer bakes into the trace but
+        # that neither cfg nor the avals capture (AOT cache keying)
+        self._opt_key = (learning_rate, os.environ.get("LVAE_OPT", "adam"))
         if t_buckets > 1:
             from lvae_tpu.data import blocks as bk
 
@@ -392,17 +423,8 @@ class HensmanTrainer:
             return fn
         from lvae_tpu.utils import aot_cache
 
-        key = None
-        if aot_cache.enabled():
-            key = aot_cache.cache_key(
-                "hensman_epochs",
-                repr(self.model),
-                self.cfg,
-                self.subjects_per_batch,
-                len(self.tables),
-                aot_cache.avals((self.state, self.tdata, self.tables)),
-                n,
-            )
+        key = self._aot_key(n) if aot_cache.enabled() else None
+        if key is not None:
             fn = aot_cache.load(key)
         if fn is None:
             fn = self.epochs_fn.lower(self.state, self.tdata, n).compile()
@@ -410,6 +432,28 @@ class HensmanTrainer:
                 aot_cache.save(key, fn)
         self._aot[n] = fn
         return fn
+
+    def _aot_key(self, n: int) -> str:
+        """Cache key for the ``n``-epoch executable. Beyond the avals
+        (shapes/dtypes/shardings) it must cover every constant the trace
+        BAKES IN: the block tables' contents (``jnp.take`` constant-folds
+        them — two cohorts with identical shapes but different subject
+        orderings compile different programs), the optimizer's lr/kind
+        (closed over, not a cfg field), and module-global model switches."""
+        from lvae_tpu.utils import aot_cache
+
+        return aot_cache.cache_key(
+            "hensman_epochs",
+            repr(self.model),
+            self.cfg,
+            self.subjects_per_batch,
+            len(self.tables),
+            aot_cache.avals((self.state, self.tdata, self.tables)),
+            aot_cache.content_digest(self.tables),
+            self._opt_key,
+            mv.use_reshape_max_pool,
+            n,
+        )
 
     def run_epochs(self, n: int):
         """Run ``n`` epochs in one dispatch; returns per-epoch metrics."""

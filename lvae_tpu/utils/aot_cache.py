@@ -100,6 +100,34 @@ def avals(tree: Any) -> str:
     return str(jax.tree.map(leaf, tree))
 
 
+def content_digest(tree: Any) -> str:
+    """Digest of the pytree's actual array CONTENTS (not just avals).
+
+    Needed for values the traced program closes over as constants — e.g. the
+    trainer's BlockTable index/mask — where two runs with identical shapes
+    but different contents (same cohort, different subject ordering) would
+    otherwise collide on the same key and silently reuse the first run's
+    baked-in tables."""
+    import jax
+    import numpy as np
+
+    h = hashlib.sha256()
+
+    def leaf(a):
+        if hasattr(a, "shape") and hasattr(a, "dtype"):
+            arr = np.asarray(a)
+            h.update(str(arr.dtype).encode())
+            h.update(str(arr.shape).encode())
+            h.update(np.ascontiguousarray(arr).tobytes())
+        else:
+            h.update(repr(a).encode())
+        h.update(b"\0")
+        return None
+
+    jax.tree.map(leaf, tree)
+    return h.hexdigest()
+
+
 def cache_key(tag: str, *parts: Any) -> str:
     import jax
 

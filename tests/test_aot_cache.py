@@ -108,3 +108,39 @@ def test_aot_missing_device_ids_fall_back(tmp_path, monkeypatch):
     with open(os.path.join(str(tmp_path), "alien.pkl"), "wb") as f:
         pickle.dump((payload, in_tree, out_tree, [999]), f)
     assert aot_cache.load("alien") is None
+
+
+def test_aot_key_covers_baked_constants(monkeypatch):
+    """Constants the trace bakes in but the avals can't see must key the
+    cache (r3 review finding): block-table CONTENTS (same shapes, different
+    subject ordering), the optimizer lr/kind, and module-global model
+    switches. A collision here silently trains with another run's tables."""
+    t = build_trainer()
+    base = t._aot_key(1)
+    assert base == t._aot_key(1)  # stable
+    assert base != t._aot_key(2)  # chunk length
+
+    # same-shape different-content tables
+    t2 = build_trainer()
+    tb = t2.tables[0]
+    t2.tables = (tb._replace(index=tb.index.at[0, 0].set(tb.index[0, 1])),)
+    assert t2._aot_key(1) != base
+
+    # optimizer fingerprint (ctor arg, not a cfg field)
+    t3 = build_trainer()
+    t3._opt_key = (3e-4, "adam")
+    assert t3._aot_key(1) != base
+
+    # module-global model switch
+    monkeypatch.setattr(mv, "use_reshape_max_pool", True)
+    assert build_trainer()._aot_key(1) != base
+
+
+def test_content_digest_sensitivity():
+    a = jnp.asarray(np.arange(6.0).reshape(2, 3))
+    b = a.at[0, 0].set(7.0)
+    assert aot_cache.content_digest((a, 1)) == aot_cache.content_digest((a, 1))
+    assert aot_cache.content_digest((a, 1)) != aot_cache.content_digest((b, 1))
+    assert aot_cache.content_digest(a) != aot_cache.content_digest(
+        a.astype(jnp.float32)
+    )

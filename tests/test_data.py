@@ -239,3 +239,32 @@ def test_generate_source_missing_files_errors(tmp_path):
     src = _write_digit_dir(str(tmp_path / "mnist"), n_per_digit=1)
     with pytest.raises(FileNotFoundError, match="source"):
         hm.generate_healthmnist(num_3=5, num_6=1, source=src)
+
+
+def test_generate_split_source_draws_disjoint_instances(tmp_path, monkeypatch):
+    """Each split must ingest DISJOINT real digit files — a model memorizing
+    train instances must never meet them again in the test split (the
+    reference achieves this by separate Health_MNIST_generate invocations
+    with distinct sources)."""
+    src = _write_digit_dir(str(tmp_path / "mnist"), n_per_digit=4)
+    calls = []
+    orig = hm._load_source_images
+
+    def spy(source, digit, count, offset=0):
+        calls.append((str(digit), int(count), int(offset)))
+        return orig(source, digit, count, offset)
+
+    monkeypatch.setattr(hm, "_load_source_images", spy)
+    hm.generate_split(
+        str(tmp_path / "out"), num_3=4, num_6=4, missing=0.0, seed=0,
+        splits=(("train", 0.5), ("test", 0.5)), source=src,
+    )
+    by_digit = {}
+    for digit, count, offset in calls:
+        by_digit.setdefault(digit, []).append((offset, count))
+    assert set(by_digit) == {"3", "6"}
+    for digit, oc in by_digit.items():
+        ranges = sorted(oc)
+        assert len(ranges) == 2, (digit, ranges)
+        for (o1, c1), (o2, _c2) in zip(ranges, ranges[1:]):
+            assert o1 + c1 <= o2, f"digit {digit} splits overlap: {ranges}"

@@ -40,13 +40,21 @@ SPEC = dict(
 ID_COV, Q, L, M, EPS = 2, 7, 3, 6, 1e-6
 
 
-def _golden_module():
+@pytest.fixture
+def golden_module():
+    """Import the golden-generator engine, restoring torch's default dtype
+    afterwards — the tool sets float64 globally at import (by design, for
+    bit-stable goldens), which otherwise leaks into every torch test that
+    runs later in the session (observed: test_torch_compat's float32 models
+    built with double biases)."""
+    prev = torch.get_default_dtype()
     spec = importlib.util.spec_from_file_location(
         "ref_goldens", "/root/repo/tools/make_reference_goldens.py"
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod
+    yield mod
+    torch.set_default_dtype(prev)
 
 
 def _problem(seed=0):
@@ -75,8 +83,8 @@ def _problem(seed=0):
     return spec0, spec1, gp, noise, m, H, rng
 
 
-def test_export_reproduces_kld_through_reference_engine(tmp_path):
-    mg = _golden_module()
+def test_export_reproduces_kld_through_reference_engine(tmp_path, golden_module):
+    mg = golden_module
     spec0, spec1, gp, noise, m, H, rng = _problem()
 
     P, T = 5, 4

@@ -162,3 +162,13 @@ def test_aot_batch_trajectories_match_full_recompute(tmp_path):
     padded = bundle.predict_trajectory(subs[0].data[:3], subs[0].labels[:3],
                                        subs[0].labels[3:])
     np.testing.assert_allclose(padded, one, rtol=1e-5, atol=1e-5)
+
+    # sibling bundle (for_k_subjects): shares the batch executables and the
+    # folded basis, compiles ONLY the K-shaped trajectory executable — and
+    # must answer exactly like a from-scratch K=2 bundle
+    sib = b1.for_k_subjects(2)
+    assert sib._basis is b1._basis and sib._encode is b1._encode
+    np.testing.assert_allclose(
+        sib.predict_trajectories(obs_x, obs_lab, query_lab), fast,
+        rtol=1e-6, atol=1e-6,
+    )
