@@ -144,37 +144,6 @@ def bucket_subject_blocks(
     return out
 
 
-def epoch_batches(
-    blocks: SubjectBlocks,
-    subjects_per_batch: int,
-    rng: Optional[np.random.Generator] = None,
-    shuffle: bool = True,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One epoch of subject-wise batches with static shapes.
-
-    Returns ``(index [B, S, T_max], mask [B, S, T_max], p_batch [B])`` where
-    the final batch is padded with fully-masked ghost subjects so every batch
-    is the same shape — the masked bounds make ghosts contribute exactly zero,
-    and ``p_batch`` carries the true subject count for the P/P_batch scaling
-    (training.py:111-118).
-    """
-    p = blocks.num_subjects
-    s = subjects_per_batch
-    n_batches = (p + s - 1) // s
-    perm = np.arange(p)
-    if shuffle:
-        (rng or np.random.default_rng()).shuffle(perm)
-    pad = n_batches * s - p
-    perm_padded = np.concatenate([perm, np.zeros(pad, dtype=perm.dtype)])
-    idx = blocks.index[perm_padded].reshape(n_batches, s, blocks.t_max)
-    msk = blocks.mask[perm_padded].reshape(n_batches, s, blocks.t_max).copy()
-    p_batch = np.full((n_batches,), s, dtype=np.int32)
-    if pad:
-        msk[-1, s - pad :] = 0.0
-        p_batch[-1] = s - pad
-    return idx, msk, p_batch
-
-
 def scatter_to_flat(
     values_b: np.ndarray, index: np.ndarray, mask: np.ndarray, n: int
 ) -> np.ndarray:

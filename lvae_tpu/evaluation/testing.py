@@ -98,10 +98,14 @@ def mse_test_gp_approx(
 
 @functools.partial(jax.jit, static_argnums=(0,))
 @_full_precision
-def _exact_gp_predict_per_dim(spec_full, gp_params_full, px, tx, noise, mu):
+def _exact_gp_predict_per_dim(spec_full, gp_params_full, px, tx, noise, mu,
+                              eps: float = 0.0):
     """Fully per-dim exact GP regression: kernel build + factorise + predict
     one latent dim at a time so the dense [N, N] matrices never stack up
-    ([L, 6040, 6040] would exceed HBM)."""
+    ([L, 6040, 6040] would exceed HBM). ``eps`` adds diagonal jitter on top
+    of the likelihood noise — duplicate covariate rows in the prediction
+    cohort (same subject, repeated covariates) make K rank-deficient, and a
+    small trained noise alone can NaN the f32 Cholesky."""
     n = px.shape[0]
     eye = jnp.eye(n, dtype=px.dtype)
 
@@ -110,7 +114,7 @@ def _exact_gp_predict_per_dim(spec_full, gp_params_full, px, tx, noise, mu):
         kp_l = kx.KernelParams(raw_scale=raw_s, raw_lengthscale=raw_l)
         k_l = kx.kernel_matrix(spec_full, kp_l, px, px)
         kc_l = kx.kernel_matrix(spec_full, kp_l, tx, px)
-        lk = la.cholesky(k_l + noise_l * eye)
+        lk = la.cholesky(k_l + (noise_l + eps) * eye)
         sol = la.cho_solve(lk, mu_l[:, None])
         return kc_l @ sol[:, 0]
 
@@ -136,6 +140,7 @@ def mse_test_exact(
     rng=None,
     seed: int = 0,
     verbose: bool = True,
+    save_file: str = "result_error.csv",
 ) -> TestResult:
     """Exact N×N GP test evaluation (model_test.py:19-82), for the
     ``type_KL='closed'`` regime: dense kernel over the (possibly subsampled)
@@ -173,7 +178,7 @@ def mse_test_exact(
     tx = jnp.asarray(test_dataset.labels, dtype)
     z_pred = _exact_gp_predict_per_dim(
         spec_full, gp_params_full, px, tx,
-        jnp.asarray(noise), jnp.asarray(prediction_mu, dtype),
+        jnp.asarray(noise), jnp.asarray(prediction_mu, dtype), eps=eps,
     )
     recon_gp = decode_latents(model, params, np.asarray(z_pred))
     gp_mse = _masked_mse_mean(model, params, jnp.asarray(recon_gp), data, mask)
@@ -183,7 +188,7 @@ def mse_test_exact(
     if results_path is not None:
         os.makedirs(results_path, exist_ok=True)
         np.savetxt(
-            os.path.join(results_path, "result_error.csv"),
+            os.path.join(results_path, save_file),
             np.asarray([result.vae_mse, result.gp_mse]),
         )
     return result

@@ -78,15 +78,24 @@ class LVAEPredictor(NamedTuple):
     def from_checkpoint(
         cls, path: str, pipeline_cfg, dataset=None
     ) -> "LVAEPredictor":
-        """Rebuild from a pipeline checkpoint + its config (+ train data)."""
+        """Rebuild from a pipeline checkpoint + its config (+ train data).
+
+        Dispatches on the artifact layout like the pipeline's own resume
+        path (pipeline._load_ckpt): orbax snapshots are DIRECTORIES, pickle
+        snapshots files — serving must load whichever backend the training
+        run was configured with (`--checkpoint_backend`)."""
         from lvae_tpu.pipeline import LVAEPipeline
-        from lvae_tpu.utils.checkpoint import load_checkpoint
 
         pipeline = LVAEPipeline(
             pipeline_cfg, {"train": dataset} if dataset is not None else None
         )
         trainer = pipeline.build_trainer()
-        trainer.state = load_checkpoint(path, like=trainer.state)
+        state = pipeline._load_ckpt(path, like=trainer.state)
+        if state is None:
+            raise FileNotFoundError(
+                f"could not load checkpoint {path!r} (see log above)"
+            )
+        trainer.state = state
         return cls.from_pipeline(pipeline)
 
     # ------------------------------------------------------------ primitives

@@ -160,20 +160,27 @@ def _phi(x):
 
 
 def _chol_inv_bwd(res, cots):
-    l, inv = res
-    dl, dinv = cots
-    lt = jnp.swapaxes(l, -1, -2)
-    l_inv = lt @ inv  # L⁻¹ = Lᵀ A⁻¹  (A symmetric)
-    l_inv_t = jnp.swapaxes(l_inv, -1, -2)
-    da = jnp.zeros_like(l)
-    if dinv is not None:
-        # d(A⁻¹): Ā = −A⁻ᵀ Īnv A⁻ᵀ
-        da = da - inv @ dinv @ inv
-    if dl is not None:
-        # Murray 2016: Ā = ½ L⁻ᵀ (Φ(Lᵀ L̄) + Φ(Lᵀ L̄)ᵀ) L⁻¹
-        m = _phi(lt @ dl)
-        da = da + 0.5 * (l_inv_t @ (m + jnp.swapaxes(m, -1, -2)) @ l_inv)
-    return (da,)
+    # custom_vjp backwards are traced AFTER the caller's
+    # default_matmul_precision("highest") context (ops/elbo._full_precision)
+    # has exited — the forward runs inside it, the bwd trace does not — so
+    # the precision must be re-entered HERE or these matmuls silently run
+    # at the TPU bf16 default, violating the GP-algebra invariant
+    # (CLAUDE.md numerics; symptom class: NaN H after an NG step).
+    with jax.default_matmul_precision("highest"):
+        l, inv = res
+        dl, dinv = cots
+        lt = jnp.swapaxes(l, -1, -2)
+        l_inv = lt @ inv  # L⁻¹ = Lᵀ A⁻¹  (A symmetric)
+        l_inv_t = jnp.swapaxes(l_inv, -1, -2)
+        da = jnp.zeros_like(l)
+        if dinv is not None:
+            # d(A⁻¹): Ā = −A⁻ᵀ Īnv A⁻ᵀ
+            da = da - inv @ dinv @ inv
+        if dl is not None:
+            # Murray 2016: Ā = ½ L⁻ᵀ (Φ(Lᵀ L̄) + Φ(Lᵀ L̄)ᵀ) L⁻¹
+            m = _phi(lt @ dl)
+            da = da + 0.5 * (l_inv_t @ (m + jnp.swapaxes(m, -1, -2)) @ l_inv)
+        return (da,)
 
 
 cholesky_inverse.defvjp(_chol_inv_fwd, _chol_inv_bwd)

@@ -133,6 +133,14 @@ def _fused_fwd(spec, scale, g, x1, x2):
 
 
 def _fused_bwd(spec, res, cot):
+    # traced after the caller's _full_precision context exits (custom_vjp
+    # bwds trace during the backward sweep) — re-enter it so the einsum
+    # contractions keep the GP-algebra precision invariant (CLAUDE.md)
+    with jax.default_matmul_precision("highest"):
+        return _fused_bwd_impl(spec, res, cot)
+
+
+def _fused_bwd_impl(spec, res, cot):
     scale, g, x1, x2 = res
     x1f = x1.astype(jnp.float32)
     x2f = x2.astype(jnp.float32)
@@ -296,6 +304,12 @@ def _block_pair_fwd(spec0, spec1, s0, g0, s1, g1, xb, mask):
 
 
 def _block_pair_bwd(spec0, spec1, res, cots):
+    # same precision re-entry as _fused_bwd (traced outside _full_precision)
+    with jax.default_matmul_precision("highest"):
+        return _block_pair_bwd_impl(spec0, spec1, res, cots)
+
+
+def _block_pair_bwd_impl(spec0, spec1, res, cots):
     s0, g0, s1, g1, xb, mask = res
     cot0, cot1 = cots
     xf = xb.astype(jnp.float32)

@@ -190,7 +190,11 @@ def gp_elbo(
     y = (yb * mask[..., None]).transpose(2, 0, 1)  # [L, P, T]
 
     w = ops.K0zz + ops.K0zx_iB_K0xz
-    w = la.symmetrize(w)
+    # same derived operator as the predictor's H (ops/predict.py:97): it
+    # inherits K0zz's rank deficiency, and the predictor observed NaN
+    # Cholesky at trained hyperparameters without the relative jitter.
+    # f64 no-op, so golden parity is untouched.
+    w = kx.add_rel_jitter(la.symmetrize(w))
     lw = la.cholesky(w)
     logdet_w = la.logdet_from_chol(lw, batch_dims=1)
     logdet = -ops.logdet_K0zz + ops.logdet_B + logdet_w
@@ -229,7 +233,11 @@ def dubo(
     log_v_masked = (log_var_b * mask[..., None]).transpose(2, 0, 1)
 
     w = ops.K0zz + ops.K0zx_iB_K0xz
-    w = la.symmetrize(w)
+    # same derived operator as the predictor's H (ops/predict.py:97): it
+    # inherits K0zz's rank deficiency, and the predictor observed NaN
+    # Cholesky at trained hyperparameters without the relative jitter.
+    # f64 no-op, so golden parity is untouched.
+    w = kx.add_rel_jitter(la.symmetrize(w))
     lw = la.cholesky(w)
     logdet_w = la.logdet_from_chol(lw, batch_dims=1)
     logdet_sigma = -ops.logdet_K0zz + ops.logdet_B + logdet_w

@@ -135,7 +135,14 @@ class LVAEPipeline:
             if trainer is self.trainer and hasattr(trainer.state, "trainables"):
                 tr = trainer.state.trainables._replace(vae=ckpt)
                 trainer.state = trainer.state._replace(trainables=tr)
-            print("Loaded pre-trained values.")
+                print("Loaded pre-trained values.")
+            else:
+                # checkpoint was readable but NOT installed — saying
+                # "loaded" here would fake a successful resume
+                print(
+                    "Did not load pre-trained values: trainer state has no "
+                    "trainables (or is not the pipeline's trainer)."
+                )
         except Exception as e:  # noqa: BLE001
             print(f"Did not load pre-trained values: {e}")
 
@@ -286,7 +293,26 @@ class LVAEPipeline:
         ``test_freq``.
         """
         cfg = self.cfg
-        self.metrics.log(epoch, metrics._asdict() if hasattr(metrics, "_asdict") else dict(metrics))
+        # the callback fires once per dispatch CHUNK with the chunk's last
+        # metrics; the machine-readable stream must still get one record per
+        # EPOCH (like stdout and diagnostics.pkl) — drain the trainer's
+        # history since the last callback instead of logging only the tail
+        hist = getattr(trainer, "history", None) or []
+        start = getattr(self, "_metrics_logged", 0)
+        fresh = hist[start:]
+        if fresh:
+            base = epoch - len(fresh)
+            for i, m in enumerate(fresh):
+                self.metrics.log(
+                    base + i + 1,
+                    m._asdict() if hasattr(m, "_asdict") else dict(m),
+                )
+            self._metrics_logged = len(hist)
+        else:
+            self.metrics.log(
+                epoch,
+                metrics._asdict() if hasattr(metrics, "_asdict") else dict(metrics),
+            )
         if cfg.auto_recover:
             from lvae_tpu.train.state import tree_finite
 
@@ -443,7 +469,7 @@ class LVAEPipeline:
         return mse_test_exact(
             self.model, vae_params, kp_full, spec_full, noise,
             self.test_dataset, prediction_x, prediction_mu, cfg.eps,
-            results_path=out,
+            results_path=out, save_file=save_file,
         )
 
     def save_artifacts(self):

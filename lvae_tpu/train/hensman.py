@@ -344,6 +344,21 @@ class HensmanTrainer:
     ):
         import os
 
+        t_model = int(getattr(model, "T", 0) or 0)
+        if t_model:
+            lens = np.unique(np.asarray(blocks.t_lens))
+            if lens.size != 1 or int(lens[0]) != t_model:
+                # the recurrence has no validity masking: a short subject's
+                # padded slots gather dataset row 0's frames and the
+                # bidirectional state would carry them into the REAL
+                # timesteps' moments — silently wrong, so refuse loudly
+                raise ValueError(
+                    f"RNN encoder (T={t_model}) requires a fixed-T cohort "
+                    f"with exactly T rows per subject; got subject lengths "
+                    f"{sorted(set(np.asarray(blocks.t_lens).tolist()))}. "
+                    "Use the MLP/conv encoders for ragged (varying_T) "
+                    "cohorts."
+                )
         self.model = model
         self.cfg = cfg
         self.blocks = blocks
@@ -440,6 +455,7 @@ class HensmanTrainer:
         them — two cohorts with identical shapes but different subject
         orderings compile different programs), the optimizer's lr/kind
         (closed over, not a cfg field), and module-global model switches."""
+        from lvae_tpu.ops import linalg as la
         from lvae_tpu.utils import aot_cache
 
         return aot_cache.cache_key(
@@ -452,6 +468,9 @@ class HensmanTrainer:
             aot_cache.content_digest(self.tables),
             self._opt_key,
             mv.use_reshape_max_pool,
+            la.use_pallas_cholesky,
+            kx.use_pallas_kernel_matrix,
+            kx.use_pallas_block_pair,
             n,
         )
 

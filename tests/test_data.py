@@ -124,19 +124,6 @@ def test_subject_blocks_ragged():
     np.testing.assert_array_equal(blocks.mask[1], [1, 1, 0])
 
 
-def test_epoch_batches_ghost_padding():
-    labels = np.zeros((10, 1))
-    labels[:, 0] = np.repeat(np.arange(5), 2)  # 5 subjects, T=2
-    blocks = bl.build_subject_blocks(labels, id_covariate=0)
-    idx, msk, p_batch = bl.epoch_batches(blocks, subjects_per_batch=2, shuffle=False)
-    assert idx.shape == (3, 2, 2)
-    np.testing.assert_array_equal(p_batch, [2, 2, 1])
-    assert msk[-1, 1].sum() == 0  # ghost subject fully masked
-    # every real sample appears exactly once
-    real = idx[msk.astype(bool)]
-    np.testing.assert_array_equal(np.sort(real), np.arange(10))
-
-
 def test_scatter_roundtrip():
     labels = np.zeros((7, 1))
     labels[:, 0] = [0, 0, 0, 1, 1, 2, 2]

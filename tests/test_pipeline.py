@@ -452,3 +452,16 @@ def test_pipeline_orbax_backend_roundtrip(tmp_path):
     a = jax.tree.leaves(pipeline.trainer.state.trainables)[0]
     b = jax.tree.leaves(trainer2.state.trainables)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # r3 review: SERVING must load the orbax directory artifact too (it
+    # used to call the pickle-only loader and die with IsADirectoryError)
+    from lvae_tpu.inference import LVAEPredictor
+
+    pred = LVAEPredictor.from_checkpoint(final, cfg, dataset=ds)
+    a_vae = jax.tree.leaves(pipeline.trainer.state.trainables.vae)[0]
+    c = jax.tree.leaves(pred.vae_params)[0]
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(a_vae))
+    with pytest.raises(FileNotFoundError):
+        LVAEPredictor.from_checkpoint(
+            os.path.join(out, "nope.ckpt"), cfg, dataset=ds
+        )

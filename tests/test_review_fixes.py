@@ -301,3 +301,116 @@ def test_rnn_trajectory_serving_requires_whole_subject(tmp_path):
         pred.aot_compile(batch_size=8, t_obs=2 * t, n_query=2)
     bundle = pred.aot_compile(batch_size=8, t_obs=t, n_query=2)  # t_obs == T OK
     assert bundle.t_obs == t
+
+
+# ---------------------------------------------------------------- round 3
+
+
+def test_rnn_rejects_ragged_cohort():
+    """r3 review: the recurrence has no validity masking, so a ragged
+    cohort's padded slots would gather row 0's frames into real timesteps'
+    moments. The trainer must refuse loudly instead of training wrong."""
+    from lvae_tpu.data.blocks import build_subject_blocks
+    from lvae_tpu.models.rnn import RNNVAE
+    from lvae_tpu.train import state as st
+    from lvae_tpu.train.hensman import HensmanTrainer
+    from tests.test_training import make_cfg, tiny_cohort
+
+    ds = tiny_cohort(p=4, t=4)
+    labels = np.asarray(ds.labels).copy()
+    # drop subject 3's last row -> ragged lengths {4, 3}
+    keep = np.ones(len(labels), bool)
+    keep[-1] = False
+    from lvae_tpu.data.datasets import ArrayDataset
+
+    ds = ArrayDataset(
+        data=np.asarray(ds.data)[keep], labels=labels[keep],
+        mask=np.asarray(ds.mask)[keep],
+    )
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    model = RNNVAE(latent_dim=3, num_dim=20, T=4, hidden_dim=8)
+    cfg = make_cfg(natural_gradient=True, p=4, t=4, latent_dim=3)
+    z = st.init_inducing_points(ds.labels, 5, seed=0)
+    with pytest.raises(ValueError, match="fixed-T cohort"):
+        HensmanTrainer(model, cfg, ds, blocks, z, subjects_per_batch=2)
+
+
+def test_mse_test_exact_honours_save_file_and_eps(tmp_path):
+    """r3 review: the closed-regime test evaluator dropped save_file (best-
+    epoch results clobbered result_error.csv) and silently ignored eps."""
+    import jax
+    import jax.numpy as jnp
+
+    from lvae_tpu.evaluation.encode import encode_dataset
+    from lvae_tpu.evaluation.testing import mse_test_exact
+    from lvae_tpu.models import vae as mv
+    from lvae_tpu.ops import kernels as kx
+    from lvae_tpu.train import state as st
+    from tests.test_training import tiny_cohort
+
+    ds = tiny_cohort(p=3, t=4)
+    model = mv.SimpleVAE(latent_dim=2, num_dim=20)
+    params = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
+        jax.random.key(0), jnp.asarray(ds.data[:2])
+    )
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2], sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+        id_covariate=2,
+    )
+    gp = st.init_gp_params(spec0, spec1, 2, constrain_scales=True)
+    spec_full, kp_full = kx.join_specs(spec0, spec1, gp.kp0, gp.kp1)
+    mu, _ = encode_dataset(model, params, ds.data)
+    res = mse_test_exact(
+        model, params, kp_full, spec_full, jnp.ones((2,), jnp.float32), ds,
+        np.asarray(ds.labels), mu, eps=1e-6,
+        results_path=str(tmp_path), save_file="result_error_best.csv",
+        verbose=False,
+    )
+    assert os.path.exists(tmp_path / "result_error_best.csv")
+    assert not os.path.exists(tmp_path / "result_error.csv")
+    vals = np.loadtxt(tmp_path / "result_error_best.csv")
+    np.testing.assert_allclose(vals, [res.vae_mse, res.gp_mse], rtol=1e-6)
+
+
+def test_metrics_jsonl_records_every_epoch(tmp_path):
+    """r3 review: the chunked-dispatch callback logged one metrics.jsonl
+    record per CHUNK; the stream must carry one record per EPOCH."""
+    import json
+
+    cfg = make_cfg(str(tmp_path), epochs=4, test_freq=2, checkpoint_every=2,
+                   run_validation=False, generate_images=False,
+                   run_tests=False)
+    pipeline = LVAEPipeline(cfg, {"train": healthmnist_like(p=4, t=5, seed=0)})
+    pipeline.build_trainer()
+    pipeline.train()
+    pipeline.metrics.flush()  # run() flushes at exit; train() buffers
+    path = os.path.join(cfg.results_path or cfg.save_path, "metrics.jsonl")
+    rows = [json.loads(l) for l in open(path)]
+    steps = [r["step"] for r in rows]
+    assert steps == [1, 2, 3, 4], steps
+
+
+def test_custom_vjp_backward_keeps_highest_precision():
+    """r3 review: custom_vjp backwards trace AFTER the caller's
+    default_matmul_precision('highest') context exits; the bwd rules must
+    re-enter it. Check the lowered backward HLO carries HIGHEST on dots."""
+    import jax
+    import jax.numpy as jnp
+
+    from lvae_tpu.ops import linalg as la
+
+    a = jnp.eye(4) * 2.0 + 0.1
+
+    def f(x):
+        with jax.default_matmul_precision("highest"):
+            l, inv = la.cholesky_and_inverse(
+                jnp.broadcast_to(x, (1, 4, 4))
+            )
+        return jnp.sum(inv) + jnp.sum(l)
+
+    txt = jax.jit(jax.grad(f)).lower(a).as_text()
+    dots = [ln for ln in txt.splitlines() if "dot_general" in ln]
+    assert dots, "expected dot_general ops in the backward"
+    bad = [ln for ln in dots if "HIGHEST" not in ln]
+    assert not bad, f"default-precision dots in custom-vjp backward:\n" + "\n".join(bad)
