@@ -54,6 +54,13 @@ def main(argv=None):
     p.add_argument("--missing", type=float, default=25.0)
     p.add_argument("--subjects_per_batch", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--regime", choices=("hensman", "gppvae"), default="hensman",
+                   help="hensman = SVI + natural gradients (the flagship); "
+                        "gppvae = the reference's mini_batch five-phase "
+                        "pseudo-minibatch splice (training.py:240-429) run "
+                        "full-batch per epoch — same L-VAE model, the "
+                        "regime the reference offers for memory-bounded "
+                        "training")
     p.add_argument("--source", type=str, default=None,
                    help="real digit images (reference layout source/<digit>/"
                         "*.jpg) — the paper protocol verbatim; train/test "
@@ -142,19 +149,33 @@ def main(argv=None):
     pre = VAEPretrainer(model, train, loss_function="nll", dropout=False, seed=a.seed)
     pre.fit(a.pretrain_epochs, log_every=max(1, a.pretrain_epochs // 4))
 
-    # ---- L-VAE Hensman training
+    # ---- L-VAE training (flagship SVI, or the GPPVAE five-phase regime)
     blocks = build_subject_blocks(train.labels, id_covariate=2)
-    cfg = HensmanConfig(
-        spec0=spec0, spec1=spec1, latent_dim=a.latent_dim,
-        P_tot=blocks.num_subjects, N_tot=len(train), weight=0.15,
-        loss_function="mse", natural_gradient=True, natural_gradient_lr=0.01,
-        constrain_scales=True, eps=1e-5, dropout=False,
-    )
     z = st.init_inducing_points(train.labels, a.M, seed=a.seed)
-    trainer = HensmanTrainer(
-        model, cfg, train, blocks, z,
-        subjects_per_batch=a.subjects_per_batch, seed=a.seed,
-    )
+    if a.regime == "gppvae":
+        from lvae_tpu.train.standard import StandardConfig, StandardTrainer
+
+        scfg = StandardConfig(
+            spec0=spec0, spec1=spec1, latent_dim=a.latent_dim,
+            P_tot=blocks.num_subjects, T=blocks.t_max, weight=0.15,
+            loss_function="mse", type_KL="GPapprox_closed", num_samples=1,
+            constrain_scales=True, eps=1e-5, dropout=False,
+        )
+        trainer = StandardTrainer(
+            model, scfg, train, blocks, z, seed=a.seed,
+            pseudo_minibatch=True,
+        )
+    else:
+        cfg = HensmanConfig(
+            spec0=spec0, spec1=spec1, latent_dim=a.latent_dim,
+            P_tot=blocks.num_subjects, N_tot=len(train), weight=0.15,
+            loss_function="mse", natural_gradient=True, natural_gradient_lr=0.01,
+            constrain_scales=True, eps=1e-5, dropout=False,
+        )
+        trainer = HensmanTrainer(
+            model, cfg, train, blocks, z,
+            subjects_per_batch=a.subjects_per_batch, seed=a.seed,
+        )
     trainer.state = trainer.state._replace(
         trainables=trainer.state.trainables._replace(vae=pre.params)
     )
@@ -289,6 +310,7 @@ def main(argv=None):
                     "k1_latent_ablation_ratio": round(lat_ratio, 3),
                     "seed": a.seed,
                     "latent_dim": a.latent_dim,
+                    "regime": a.regime,
                     "imputation_mse_missing_pixels": round(imput_mse, 5),
                     "paper_lvae_dim32": 0.025,
                     "subjects": a.subjects,
