@@ -19,6 +19,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from lvae_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 T, LATENT, M_IND, SPB, IMG = 20, 32, 60, 20, 36
 
 
