@@ -54,13 +54,18 @@ def main(argv=None):
     p.add_argument("--missing", type=float, default=25.0)
     p.add_argument("--subjects_per_batch", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--regime", choices=("hensman", "gppvae"), default="hensman",
+    p.add_argument("--regime", choices=("hensman", "gppvae", "vi"), default="hensman",
                    help="hensman = SVI + natural gradients (the flagship); "
                         "gppvae = the reference's mini_batch five-phase "
                         "pseudo-minibatch splice (training.py:240-429) run "
                         "full-batch per epoch — same L-VAE model, the "
                         "regime the reference offers for memory-bounded "
-                        "training")
+                        "training; vi = amortisation-free variational "
+                        "inference (training.py:602-764): free per-point "
+                        "(mu, log_var) + decoder + GP hyperparams in phase "
+                        "1, then joint latent inference for the UNSEEN "
+                        "observed halves in phase 2 — conditioning uses the "
+                        "optimised latents, never the encoder")
     p.add_argument("--source", type=str, default=None,
                    help="real digit images (reference layout source/<digit>/"
                         "*.jpg) — the paper protocol verbatim; train/test "
@@ -165,6 +170,20 @@ def main(argv=None):
             model, scfg, train, blocks, z, seed=a.seed,
             pseudo_minibatch=True,
         )
+    elif a.regime == "vi":
+        from lvae_tpu.train.vi import VIConfig, VITrainer
+
+        vicfg = VIConfig(
+            spec0=spec0, spec1=spec1, latent_dim=a.latent_dim,
+            weight=0.15, loss_function="mse", constrain_scales=True,
+            eps=1e-5,
+        )
+        gp0 = st.init_gp_params(
+            spec0, spec1, a.latent_dim, constrain_scales=True
+        )
+        trainer = VITrainer(
+            model, vicfg, train, blocks, z, pre.params, gp0, seed=a.seed
+        )
     else:
         cfg = HensmanConfig(
             spec0=spec0, spec1=spec1, latent_dim=a.latent_dim,
@@ -176,18 +195,35 @@ def main(argv=None):
             model, cfg, train, blocks, z,
             subjects_per_batch=a.subjects_per_batch, seed=a.seed,
         )
-    trainer.state = trainer.state._replace(
-        trainables=trainer.state.trainables._replace(vae=pre.params)
-    )
+    if a.regime != "vi":
+        trainer.state = trainer.state._replace(
+            trainables=trainer.state.trainables._replace(vae=pre.params)
+        )
     trainer.fit(a.epochs, log_every=max(1, a.epochs // 10), chunk=25)
 
     # ---- evaluate: observed half of unseen subjects → predict future half
-    tr = trainer.state.trainables
+    if a.regime == "vi":
+        # Phase 2 (training.py:688-749): jointly infer the OBSERVED halves'
+        # latents against the trained cohort — the future frames are never
+        # shown to the optimiser (the reference's own protocol passes full
+        # prediction sequences and conditions generation on a prefix; here
+        # the ragged joint cohort keeps the future honest-out-of-sample).
+        from types import SimpleNamespace
+
+        mu_pred, _lv_pred = trainer.optimize_prediction_set(
+            observed, epochs=1000, log_every=250
+        )
+        tr = SimpleNamespace(vae=trainer.state.vae, gp=trainer.state.gp)
+        obs_mu = jnp.asarray(mu_pred)
+        z_eval = np.asarray(trainer.z_ind)
+    else:
+        tr = trainer.state.trainables
+        obs_mu, _ = encode_dataset(model, tr.vae, observed.data)
+        z_eval = trainer.tdata.z
     noise = jnp.ones_like(tr.gp.raw_noise)  # constrain_scales
-    obs_mu, _ = encode_dataset(model, tr.vae, observed.data)
     result = mse_test_gp_approx(
         model, tr.vae, tr.gp, noise, spec0, spec1,
-        future, observed.labels, obs_mu, trainer.tdata.z,
+        future, observed.labels, obs_mu, z_eval,
         id_covariate=2, eps=1e-5, results_path=a.out,
     )
 
@@ -198,7 +234,7 @@ def main(argv=None):
             pickle.dump(
                 {
                     "trainables": jax.tree.map(np.asarray, tr),
-                    "z": np.asarray(trainer.tdata.z),
+                    "z": np.asarray(z_eval),
                     "observed": observed, "future": future,
                     "obs_mu": np.asarray(obs_mu),
                     "train": train, "tfull": tfull,
@@ -249,7 +285,7 @@ def main(argv=None):
     )
     result_ablated = mse_test_gp_approx(
         model, tr.vae, tr.gp._replace(kp1=kp1_off), noise, spec0, spec1,
-        future, observed.labels, obs_mu, trainer.tdata.z,
+        future, observed.labels, obs_mu, z_eval,
         id_covariate=2, eps=1e-5, results_path=None,
     )
     # latent-space sensitivity: GP-predicted future latents vs the encoder's
@@ -261,11 +297,11 @@ def main(argv=None):
     fut_lab = future.labels.astype(np.float32)
     zp_f = np.asarray(predict_latents(
         spec0, spec1, tr.gp.kp0, tr.gp.kp1, noise,
-        obs_lab, np.asarray(obs_mu), fut_lab, trainer.tdata.z, 2, 1e-5,
+        obs_lab, np.asarray(obs_mu), fut_lab, z_eval, 2, 1e-5,
     ))
     zp_a = np.asarray(predict_latents(
         spec0, spec1, tr.gp.kp0, kp1_off, noise,
-        obs_lab, np.asarray(obs_mu), fut_lab, trainer.tdata.z, 2, 1e-5,
+        obs_lab, np.asarray(obs_mu), fut_lab, z_eval, 2, 1e-5,
     ))
     fut_np = np.asarray(fut_mu)
     lat_full = float(((zp_f - fut_np) ** 2).mean())

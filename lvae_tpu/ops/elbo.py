@@ -257,7 +257,15 @@ def dubo(
     diag_ib = jnp.diagonal(ops.iB, axis1=-2, axis2=-1)  # [L, P, T]
     tr_ib_d = jnp.sum(diag_ib * v, axis=(1, 2))
 
-    d05_ib_k0xz = ops.iB_K0xz * jnp.sqrt(v)[..., None]  # [L, P, T, M]
+    # sqrt has an infinite derivative at the padded slots' v == 0; the
+    # double-where keeps the value identical (sqrt(1)·0 == sqrt(0)) while
+    # zeroing the cotangent there — without it, d sqrt(v)/d log_var is
+    # inf · (exp(log_var)·0) = NaN, which the padded-slot gather scatters
+    # into ROW 0's gradient (observed: VI phase-2 on a ragged joint cohort
+    # NaN'd lv_pred[0] on the first Adam step)
+    v_safe = jnp.where(mask[None, :, :] > 0, v, jnp.ones_like(v))
+    sqrt_v = jnp.sqrt(v_safe) * mask[None, :, :]
+    d05_ib_k0xz = ops.iB_K0xz * sqrt_v[..., None]  # [L, P, T, M]
     g = jnp.einsum("lptm,lptn->lmn", d05_ib_k0xz, d05_ib_k0xz)
     tr_iw_g = jnp.trace(la.cho_solve(lw, g), axis1=-2, axis2=-1)
     tr_isigma_d = tr_ib_d - tr_iw_g

@@ -206,7 +206,12 @@ class VITrainer:
             [np.asarray(prediction_dataset.labels), self.labels[self.order]], 0
         )
         jblocks = build_subject_blocks(joint_labels, id_covariate=self._id_cov())
-        assert jblocks.mask.all(), "prediction regime expects fixed-T cohorts"
+        # Ragged joint cohorts are fine HERE (unlike fit(), whose recon loss
+        # reads the gathered data_ordered and would double-count padded rows):
+        # phase 2's recon loss runs over the flat prediction rows, and the
+        # only block-shaped term is the DUBO, which is mask-exact
+        # (test_dubo_matches_dense_oracle[ragged]). Padded slots gather row 0
+        # but contribute zero value and zero gradient through the mask.
         xb = jnp.asarray(joint_labels[jblocks.index.reshape(-1)], dtype).reshape(
             jblocks.num_subjects, jblocks.t_max, -1
         )

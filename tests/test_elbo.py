@@ -165,6 +165,30 @@ def test_dubo_matches_dense_oracle(ragged):
         np.testing.assert_allclose(got[l], want, rtol=1e-8)
 
 
+def test_dubo_gradients_finite_on_ragged_blocks():
+    """d dubo/d log_var must be finite at padded slots (regression: the
+    sqrt(v) factor has an infinite derivative at v == 0, and without the
+    double-where the padded slots' NaN cotangent chains through
+    exp(log_var)·mask as inf·0 — VI phase-2 on a ragged joint cohort
+    NaN'd its first Adam step through exactly this path)."""
+    rng = np.random.default_rng(2)
+    pr = make_problem(rng, ragged=True)
+    assert not np.asarray(pr["mask"]).all(), "problem must be ragged"
+    ops = eb.gp_block_operators(
+        pr["spec0"], pr["spec1"], pr["kp0"], pr["kp1"], pr["noise"],
+        pr["xb"], pr["z"], pr["mask"], eps=EPS,
+    )
+
+    def total(args):
+        mu_b, lv_b = args
+        return jnp.sum(eb.dubo(ops, mu_b, lv_b))
+
+    val, (g_mu, g_lv) = jax.value_and_grad(total)((pr["mu_b"], pr["lv_b"]))
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g_mu)).all()
+    assert np.isfinite(np.asarray(g_lv)).all()
+
+
 def test_dubo_upper_bounds_kl_closed():
     """DUBO ≥ exact KL against the full GP prior (it is an upper bound)."""
     rng = np.random.default_rng(3)
