@@ -233,7 +233,11 @@ def main(argv=None):
         with open(a.dump_state, "wb") as f:
             pickle.dump(
                 {
-                    "trainables": jax.tree.map(np.asarray, tr),
+                    # dict, not the namespace/NamedTuple itself: the vi
+                    # branch's SimpleNamespace is an opaque leaf to tree.map
+                    "trainables": jax.tree.map(
+                        np.asarray, {"vae": tr.vae, "gp": tr.gp}
+                    ),
                     "z": np.asarray(z_eval),
                     "observed": observed, "future": future,
                     "obs_mu": np.asarray(obs_mu),

@@ -179,6 +179,45 @@ def test_vi_regime_two_phase():
     assert mu_pred.shape == (len(pred), 3)
 
 
+def test_vi_prediction_set_ragged_joint_cohort():
+    """Phase 2 supports a RAGGED joint cohort (prediction subjects shorter
+    than the trained ones) — the accuracy harness's honest protocol passes
+    only the observed halves. Regression for the padded-slot NaN gradient
+    (d sqrt(v)/d log_var = inf·0) that made every phase-2 step NaN."""
+    from lvae_tpu.evaluation.encode import encode_dataset
+    from lvae_tpu.train.vi import VIConfig, VITrainer
+
+    ds = tiny_cohort(p=6, t=4)
+    pred = tiny_cohort(p=3, t=2, seed=5)  # T=2 vs trained T=4 → ragged
+    pred.labels[:, 2] += 100  # disjoint subject ids
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2], sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+        id_covariate=2,
+    )
+    model = mv.SimpleVAE(latent_dim=3, num_dim=20)
+    params = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
+        jax.random.key(0), jnp.asarray(ds.data[:2])
+    )
+    gp = st.init_gp_params(spec0, spec1, 3, constrain_scales=True)
+    z = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+    cfg = VIConfig(spec0=spec0, spec1=spec1, latent_dim=3, weight=0.5,
+                   loss_function="mse", constrain_scales=True, eps=1e-5)
+    trainer = VITrainer(model, cfg, ds, blocks, z, params, gp)
+    trainer.fit(5, log_every=0)
+    mu0, _ = encode_dataset(model, trainer.state.vae, pred.data)
+    mu_pred, lv_pred = trainer.optimize_prediction_set(
+        pred, epochs=20, log_every=0
+    )
+    assert np.isfinite(mu_pred).all() and np.isfinite(lv_pred).all()
+    assert mu_pred.shape == (len(pred), 3)
+    # the optimiser must have actually moved the latents off the encoder
+    # init (with the NaN bug, updates were NaN → either NaN output or, on
+    # backends that flush the bad cotangent, frozen latents)
+    assert float(np.abs(mu_pred - np.asarray(mu0)).max()) > 1e-5
+
+
 def test_vy_fixed_freezes_observation_noise():
     """vy_fixed stops gradients on the observation noise (VAE.py:41-42)."""
     ds = tiny_cohort()
