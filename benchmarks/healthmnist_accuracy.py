@@ -66,6 +66,10 @@ def main(argv=None):
                         "1, then joint latent inference for the UNSEEN "
                         "observed halves in phase 2 — conditioning uses the "
                         "optimised latents, never the encoder")
+    p.add_argument("--pred_epochs", type=int, default=1000,
+                   help="vi regime only: phase-2 joint-inference steps for "
+                        "the unseen cohort (the reference fixes 1000, "
+                        "training.py:712; lower for smoke runs)")
     p.add_argument("--source", type=str, default=None,
                    help="real digit images (reference layout source/<digit>/"
                         "*.jpg) — the paper protocol verbatim; train/test "
@@ -211,7 +215,7 @@ def main(argv=None):
         from types import SimpleNamespace
 
         mu_pred, _lv_pred = trainer.optimize_prediction_set(
-            observed, epochs=1000, log_every=250
+            observed, epochs=a.pred_epochs, log_every=max(1, a.pred_epochs // 4)
         )
         tr = SimpleNamespace(vae=trainer.state.vae, gp=trainer.state.gp)
         obs_mu = jnp.asarray(mu_pred)
@@ -233,10 +237,14 @@ def main(argv=None):
         with open(a.dump_state, "wb") as f:
             pickle.dump(
                 {
-                    # dict, not the namespace/NamedTuple itself: the vi
-                    # branch's SimpleNamespace is an opaque leaf to tree.map
+                    # hensman/gppvae keep the r2 schema (the Trainables
+                    # NamedTuple maps fine); only the vi branch's
+                    # SimpleNamespace — an opaque leaf to tree.map — is
+                    # dumped as a {vae, gp} dict
                     "trainables": jax.tree.map(
-                        np.asarray, {"vae": tr.vae, "gp": tr.gp}
+                        np.asarray,
+                        tr if hasattr(tr, "_fields")
+                        else {"vae": tr.vae, "gp": tr.gp},
                     ),
                     "z": np.asarray(z_eval),
                     "observed": observed, "future": future,

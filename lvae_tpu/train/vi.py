@@ -230,6 +230,26 @@ class VITrainer:
         cfg_ = cfg
         model_ = model
 
+        # the GP operators depend only on FROZEN quantities here (gp, xb,
+        # block_mask, z) — only (mu_pred, lv_pred) are optimised — so build
+        # them ONCE and close over them instead of rebuilding the
+        # [L, P_joint, T, T] kernel/Cholesky stacks inside every scanned
+        # step (XLA's loop-invariant code motion does not hoist the nested
+        # Cholesky chain out of the scan; measured ~half of each phase-2
+        # step redundant). gp_block_operators is @_full_precision, so the
+        # one-time build keeps the GP-algebra precision invariant.
+        noise = (
+            jnp.ones_like(gp.raw_noise)
+            if cfg_.constrain_scales
+            else kx.constrain(gp.raw_noise)
+        )
+        ops = jax.jit(
+            lambda kp0, kp1, nz: eb.gp_block_operators(
+                cfg_.spec0, cfg_.spec1, kp0, kp1, nz, xb, z_ind,
+                block_mask, cfg_.eps,
+            )
+        )(gp.kp0, gp.kp1, noise)
+
         def pred_step(mu_pred, lv_pred, opt_state, key):
             def loss(tr):
                 mu_p, lv_p = tr
@@ -249,15 +269,6 @@ class VITrainer:
                 )
                 lv_b = jnp.take(lv_all, jindex, axis=0).reshape(
                     block_mask.shape[0], block_mask.shape[1], cfg_.latent_dim
-                )
-                noise = (
-                    jnp.ones_like(gp.raw_noise)
-                    if cfg_.constrain_scales
-                    else kx.constrain(gp.raw_noise)
-                )
-                ops = eb.gp_block_operators(
-                    cfg_.spec0, cfg_.spec1, gp.kp0, gp.kp1, noise, xb, z_ind,
-                    block_mask, cfg_.eps,
                 )
                 gp_loss = jnp.sum(eb.dubo(ops, mu_b, lv_b)) / cfg_.latent_dim
                 if cfg_.loss_function == "mse":
