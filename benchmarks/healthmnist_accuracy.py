@@ -212,12 +212,12 @@ def main(argv=None):
         # shown to the optimiser (the reference's own protocol passes full
         # prediction sequences and conditions generation on a prefix; here
         # the ragged joint cohort keeps the future honest-out-of-sample).
-        from types import SimpleNamespace
-
         mu_pred, _lv_pred = trainer.optimize_prediction_set(
             observed, epochs=a.pred_epochs, log_every=max(1, a.pred_epochs // 4)
         )
-        tr = SimpleNamespace(vae=trainer.state.vae, gp=trainer.state.gp)
+        tr = st.Trainables(
+            vae=trainer.state.vae, gp=trainer.state.gp, m=None, h_factor=None
+        )
         obs_mu = jnp.asarray(mu_pred)
         z_eval = np.asarray(trainer.z_ind)
     else:
@@ -237,15 +237,9 @@ def main(argv=None):
         with open(a.dump_state, "wb") as f:
             pickle.dump(
                 {
-                    # hensman/gppvae keep the r2 schema (the Trainables
-                    # NamedTuple maps fine); only the vi branch's
-                    # SimpleNamespace — an opaque leaf to tree.map — is
-                    # dumped as a {vae, gp} dict
-                    "trainables": jax.tree.map(
-                        np.asarray,
-                        tr if hasattr(tr, "_fields")
-                        else {"vae": tr.vae, "gp": tr.gp},
-                    ),
+                    # all regimes share the r2 'trainables' schema (the vi
+                    # branch fills m/h_factor with None)
+                    "trainables": jax.tree.map(np.asarray, tr),
                     "z": np.asarray(z_eval),
                     "observed": observed, "future": future,
                     "obs_mu": np.asarray(obs_mu),
@@ -262,7 +256,47 @@ def main(argv=None):
     # diagnostic: do the latents carry PERSISTENT per-subject appearance?
     # (corr between each test subject's mean latent offset in the observed
     # vs future half — the signal the id-kernel term transfers)
-    fut_mu, _ = encode_dataset(model, tr.vae, future.data)
+    if a.regime == "vi":
+        # VI phase 1 never updates the encoder (the loss only calls decode),
+        # so encoder output lives in the PRETRAINED space while obs_mu and
+        # the GP live in the jointly-optimised one. The model's own
+        # representation of the future frames is the decoder-only latent
+        # inversion — free mu minimising the masked recon MSE (phase-1's
+        # recon term), init from the encoder, NO GP term so the
+        # discrimination target stays independent of the GP under test.
+        import optax
+
+        from lvae_tpu.models import vae as mv
+
+        mu0, _ = encode_dataset(model, tr.vae, future.data)
+        fx = jnp.asarray(future.data)
+        fpm = jnp.asarray(future.mask)
+        inv_opt = optax.adam(1e-2)
+        raw_log_vy = tr.vae["params"]["raw_log_vy"]
+
+        def inv_loss(mu):
+            recon = model.apply(
+                tr.vae, mu, deterministic=True, method=type(model).decode
+            )
+            mse_i, _nll_i = mv.vae_loss(raw_log_vy, recon, fx, fpm)
+            return jnp.sum(mse_i)
+
+        @jax.jit
+        def invert(mu):
+            def body(carry, _):
+                mu_, os_ = carry
+                g = jax.grad(inv_loss)(mu_)
+                upd, os_ = inv_opt.update(g, os_, mu_)
+                return (optax.apply_updates(mu_, upd), os_), None
+
+            (mu_, _), _ = jax.lax.scan(
+                body, (mu, inv_opt.init(mu)), length=a.pred_epochs
+            )
+            return mu_
+
+        fut_mu = invert(jnp.asarray(mu0))
+    else:
+        fut_mu, _ = encode_dataset(model, tr.vae, future.data)
 
     def subj_means(mu_arr, labels):
         ids = labels[:, 2]

@@ -288,9 +288,12 @@ def gppvae_grads(
 
 
 def make_gppvae_step(model, cfg: StandardConfig, optimizer):
-    """One jitted pseudo-minibatch epoch: five phases + one optimiser step."""
+    """One pseudo-minibatch epoch: five phases + one optimiser step.
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    Returns the UN-jitted epoch body; :class:`StandardTrainer` wraps it both
+    as a jitted single step and as a multi-epoch ``lax.scan`` chunk.
+    """
+
     def step_fn(state: StandardState, tdata, block_mask):
         rng, key = jax.random.split(state.rng)
         grads, metrics = gppvae_grads(
@@ -310,7 +313,8 @@ def make_gppvae_step(model, cfg: StandardConfig, optimizer):
 
 
 def make_standard_step(model, cfg: StandardConfig, optimizer):
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    """One full-batch epoch body (un-jitted; see :func:`make_gppvae_step`)."""
+
     def step_fn(state: StandardState, tdata, block_mask):
         rng, key = jax.random.split(state.rng)
         (net, metrics), grads = jax.value_and_grad(
@@ -366,11 +370,24 @@ class StandardTrainer:
             )
         self.pseudo_minibatch = pseudo_minibatch
         self.optimizer = st.make_optimizer(learning_rate)
-        self.step_fn = (
+        body = (
             make_gppvae_step(model, cfg, self.optimizer)
             if pseudo_minibatch
             else make_standard_step(model, cfg, self.optimizer)
         )
+        self.step_fn = jax.jit(body, donate_argnums=(0,))
+
+        # multi-epoch dispatch: one remote round trip per CHUNK of epochs —
+        # a per-epoch loop pays dispatch + host metric sync per epoch, which
+        # dominates on the remote-attached chip (train/hensman.py docstring)
+        @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def epochs_fn(state, tdata, block_mask, n_epochs):
+            def scan_body(s, _):
+                return body(s, tdata, block_mask)
+
+            return jax.lax.scan(scan_body, state, length=n_epochs)
+
+        self.epochs_fn = epochs_fn
         self.dtype = dtype
         self.block_mask = jnp.asarray(blocks.mask, dtype)
         n = len(dataset)
@@ -417,16 +434,32 @@ class StandardTrainer:
         self.history.append(m)
         return m
 
-    def fit(self, epochs: int, log_every: int = 1, callback=None, chunk: int = 1):
-        del chunk  # full-batch epochs are already one dispatch each
-        for epoch in range(1, epochs + 1):
-            m = self.run_epoch()
-            if log_every and epoch % log_every == 0:
-                print(
-                    "Iter %d/%d - Loss: %.3f  - GP loss: %.3f  - NLL Loss: %.3f"
-                    "  - Recon Loss: %.3f" % (epoch, epochs, m.net, m.gp, m.nll, m.recon),
-                    flush=True,
-                )
+    def run_epochs(self, n: int):
+        """Run ``n`` epochs as ONE dispatch; one host metric transfer total."""
+        self.state, ms = self.epochs_fn(self.state, self.tdata, self.block_mask, n)
+        ms = jax.tree.map(np.asarray, ms)  # [n]-stacked StandardMetrics
+        out = [StandardMetrics(*(float(a[i]) for a in ms)) for i in range(n)]
+        self.history.extend(out)
+        return out
+
+    def fit(self, epochs: int, log_every: int = 1, callback=None, chunk: int = 25):
+        # chunk semantics match HensmanTrainer.fit: `chunk` epochs per
+        # dispatch, per-epoch logs from the stacked metrics, callback at
+        # chunk boundaries (the pipeline gcd-aligns chunk to its cadences)
+        done = 0
+        while done < epochs:
+            n = min(max(chunk, 1), epochs - done)
+            ms = self.run_epochs(n)
+            for i, m in enumerate(ms):
+                epoch = done + i + 1
+                if log_every and epoch % log_every == 0:
+                    print(
+                        "Iter %d/%d - Loss: %.3f  - GP loss: %.3f  - NLL Loss: %.3f"
+                        "  - Recon Loss: %.3f"
+                        % (epoch, epochs, m.net, m.gp, m.nll, m.recon),
+                        flush=True,
+                    )
+            done += n
             if callback is not None:
-                callback(self, epoch, m)
+                callback(self, done, ms[-1])
         return self.history

@@ -166,3 +166,47 @@ def test_gppvae_rejects_closed_kl():
     """The reference asserts GPapprox(_closed) only (training.py:285)."""
     with pytest.raises(ValueError, match="mini_batch"):
         build(type_KL="closed")
+
+
+def _fresh_trainer(pseudo_minibatch: bool, type_KL="GPapprox_closed"):
+    ds = tiny_cohort()
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    cfg = make_cfg(type_KL)
+    model = mv.SimpleVAE(latent_dim=cfg.latent_dim, num_dim=12, dtype=jnp.float64)
+    z = st.init_inducing_points(ds.labels, m_inducing=6, seed=0)
+    return ts.StandardTrainer(
+        model, cfg, ds, blocks, z, seed=0, dtype=jnp.float64,
+        pseudo_minibatch=pseudo_minibatch,
+    )
+
+
+@pytest.mark.parametrize("pseudo_minibatch", [False, True])
+def test_chunked_fit_equals_per_epoch_loop(pseudo_minibatch):
+    """fit(chunk=4) (one lax.scan dispatch per chunk, incl. a remainder
+    chunk) reproduces the per-epoch run_epoch trajectory exactly — the
+    chunked multi-epoch dispatch added so full-batch regimes stop paying one
+    remote round trip + host metric sync per epoch (train/hensman.py
+    dispatch model)."""
+    ref = _fresh_trainer(pseudo_minibatch)
+    for _ in range(6):
+        ref.run_epoch()
+
+    chunked = _fresh_trainer(pseudo_minibatch)
+    cb_epochs = []
+    chunked.fit(
+        6, log_every=0, chunk=4,
+        callback=lambda _t, e, _m: cb_epochs.append(e),
+    )
+    assert cb_epochs == [4, 6]  # chunk boundaries, hensman fit semantics
+    assert len(chunked.history) == len(ref.history) == 6
+    for a, b in zip(ref.history, chunked.history):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=0
+        )
+    for pa, pb in zip(
+        jax.tree.leaves(ref.state.trainables),
+        jax.tree.leaves(chunked.state.trainables),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=1e-10, atol=1e-12
+        )
