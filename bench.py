@@ -311,7 +311,54 @@ def bench_torch_baseline(max_batches=3):
     return float(np.sum(times) / len(times) * n_batches)
 
 
+def _probe_devices(attempt_timeout=150, max_wait=1500):
+    """Fail fast instead of hanging forever when the remote TPU relay is
+    wedged (observed: device enumeration hangs indefinitely for hours).
+    Enumerate devices in a KILLABLE subprocess — killing a hung enumeration
+    is safe, it never reaches the compile service — retrying until the relay
+    answers or the budget runs out, then abort with a diagnostic instead of
+    wedging the caller. BENCH_NO_PROBE=1 skips."""
+    import subprocess
+
+    if os.environ.get("BENCH_NO_PROBE"):
+        return
+    deadline = time.monotonic() + max_wait
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].device_kind)"],
+                timeout=attempt_timeout, capture_output=True, text=True,
+            )
+            if out.returncode == 0:
+                if attempt > 1:
+                    print(
+                        f"# device relay answered on attempt {attempt}",
+                        file=sys.stderr,
+                    )
+                return
+            lines = (out.stderr or "").strip().splitlines()
+            err = lines[-1] if lines else f"rc={out.returncode}"
+        except subprocess.TimeoutExpired:
+            err = f"device enumeration hang >{attempt_timeout}s (relay wedged?)"
+        if time.monotonic() >= deadline:
+            print(
+                f"# bench aborted: device probe failed after {attempt} "
+                f"attempts over {max_wait}s ({err})",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        print(
+            f"# device probe attempt {attempt} failed ({err}); retrying",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+
+
 def main():
+    _probe_devices()
     jax_epoch_s, compile_s, metrics, roofline = bench_jax()
     if os.environ.get("BENCH_SKIP_TORCH"):
         torch_epoch_s = None
