@@ -147,7 +147,12 @@ def bucket_subject_blocks(
 def scatter_to_flat(
     values_b: np.ndarray, index: np.ndarray, mask: np.ndarray, n: int
 ) -> np.ndarray:
-    """Scatter per-block values ``[..., P, T, D]`` back to flat rows ``[N, D]``."""
+    """Scatter per-block values ``[P, T, ...]`` back to flat rows ``[N, ...]``.
+
+    The block axes must LEAD (matching ``index``'s shape); trailing feature
+    axes are free. Leading batch axes are not supported — pass e.g.
+    ``[P, T, L]``, not ``[L, P, T]`` (ops/predict.py:203 layout).
+    """
     flat_idx = index.reshape(-1)
     flat_mask = mask.reshape(-1).astype(bool)
     out = np.zeros((n,) + values_b.shape[len(index.shape):], dtype=values_b.dtype)

@@ -91,7 +91,13 @@ def load_healthmnist(
         mask = _read_csv_fast(os.path.join(root_dir, mask_file)).astype(np.float32)
     else:
         mask = np.ones_like(data, dtype=np.float32)
-    x = (data / 255.0).astype(np.float32)
+    # the reference loader casts raw CSV values through uint8 BEFORE
+    # ToTensor's /255 (dataset_def.py:71 `np.array(digit, dtype='uint8')`):
+    # reference-generated CSVs contain unclipped ndimage.rotate overshoot
+    # (< 0 and > 255), which wraps mod 256 there — replicate the cast so
+    # loading reference artifacts is byte-compatible (lvae_tpu's own
+    # generator clips to 0..255, where this is a no-op)
+    x = (data.astype(np.uint8) / 255.0).astype(np.float32)
     if conv:
         x = x.reshape(n, 36, 36, 1)
     return ArrayDataset(data=x, labels=labels, mask=mask)
@@ -114,9 +120,14 @@ def load_rotatedmnist(
         mask = mask.reshape(data.shape)
     else:
         mask = np.ones_like(data, dtype=np.float32)
-    x = data.astype(np.float32)
-    if x.max() > 1.5:
-        x = x / 255.0
+    # exact ToTensor semantics (dataset_def.py:81): torchvision rescales
+    # /255 ONLY for uint8 input; float npy arrays pass through unscaled —
+    # the previous `max() > 1.5` heuristic silently rescaled 0..255-float
+    # data the reference trains on raw
+    if np.issubdtype(data.dtype, np.integer):
+        x = (data.astype(np.uint8) / 255.0).astype(np.float32)
+    else:
+        x = data.astype(np.float32)
     if conv:
         x = x.reshape(-1, 28, 28, 1)
     return ArrayDataset(data=x, labels=labels, mask=mask)

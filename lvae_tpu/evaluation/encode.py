@@ -18,6 +18,19 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def vae_forward(model, params, x, rng):
+    """Jitted full VAE forward (encode→sample→decode), cached across calls.
+
+    The evaluation entry points used to build a fresh ``jax.jit(lambda ...)``
+    per call — the jit cache is keyed on the wrapper object, so every
+    validation/test invocation re-traced (and on the remote chip could
+    re-compile for minutes). The hashable flax module as a static argument
+    makes repeat calls cache hits, like :func:`_encode_scan` below.
+    """
+    return model.apply(params, x, rng=rng, deterministic=True)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def _encode_scan(model, params, data, idx):
     def step(_, chunk):
         mu, log_var = model.apply(
@@ -92,10 +105,7 @@ def decode_latents(model, params, z, batch_size: int = 1000) -> np.ndarray:
             _decode_scan(model, params, jnp.zeros((1, 1, z.shape[1]), jnp.float32))
         )
         return out.reshape((1,) + out.shape[2:])[:0]
-    bs = min(batch_size, n)
-    n_chunks = (n + bs - 1) // bs
-    pad = n_chunks * bs - n
-    zp = np.concatenate([z, np.zeros((pad, z.shape[1]), z.dtype)])
-    zp = zp.reshape(n_chunks, bs, z.shape[1])
+    idx = _chunk_indices(n, batch_size)  # shared pad/chunk rule with encode
+    zp = z[idx.reshape(-1)].reshape(idx.shape + (z.shape[1],))
     out = np.asarray(_decode_scan(model, params, jnp.asarray(zp)))
-    return out.reshape((n_chunks * bs,) + out.shape[2:])[:n]
+    return out.reshape((idx.size,) + out.shape[2:])[:n]

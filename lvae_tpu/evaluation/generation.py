@@ -142,9 +142,9 @@ def vae_output(
     data = jnp.asarray(dataset.data[:n])
     if rng is None:
         rng = jax.random.key(0)
-    recon, _, _ = jax.jit(
-        lambda p, x, k: model.apply(p, x, rng=k, deterministic=True)
-    )(params, data, rng)
+    from lvae_tpu.evaluation.encode import vae_forward
+
+    recon, _, _ = vae_forward(model, params, data, rng)
     os.makedirs(save_path, exist_ok=True)
     path = os.path.join(save_path, f"recon_VAE_{epoch}.pdf")
     lo = min(40, max(0, n - num_sets * seq_length))

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lvae_tpu.evaluation.encode import decode_latents
+from lvae_tpu.evaluation.encode import decode_latents, vae_forward
 from lvae_tpu.models import vae as mv
 from lvae_tpu.ops import kernels as kx
 from lvae_tpu.ops import linalg as la
@@ -67,10 +67,7 @@ def mse_test_gp_approx(
     mask = jnp.asarray(test_dataset.mask)
     if rng is None:
         rng = jax.random.key(0)
-    recon, mu, log_var = jax.jit(
-        lambda p, x, k: model.apply(p, x, rng=k, deterministic=True),
-        static_argnums=(),
-    )(params, data, rng)
+    recon, mu, log_var = vae_forward(model, params, data, rng)
     vae_mse = _masked_mse_mean(model, params, recon, data, mask)
     if verbose:
         print(f"Decoder loss: {vae_mse}")
@@ -155,10 +152,15 @@ def mse_test_exact(
     prediction_x = np.asarray(prediction_x)
     prediction_mu = np.asarray(prediction_mu)
     if prediction_x.shape[0] > max_prediction_rows:
+        # sizes derive from the cap (reference hardcodes 40 + 6000 = 6040,
+        # model_test.py:59-63; the default cap reproduces that exactly —
+        # a smaller caller-chosen cap must actually be honoured)
+        head = min(40, max_prediction_rows)
         r = np.random.default_rng(seed).choice(
-            prediction_x.shape[0] - 40, 6000, replace=False
-        ) + 40
-        ind = np.concatenate([np.arange(40), r])
+            prediction_x.shape[0] - head, max_prediction_rows - head,
+            replace=False,
+        ) + head
+        ind = np.concatenate([np.arange(head), r])
         prediction_x = prediction_x[ind]
         prediction_mu = prediction_mu[ind]
 
@@ -166,9 +168,7 @@ def mse_test_exact(
     mask = jnp.asarray(test_dataset.mask)
     if rng is None:
         rng = jax.random.key(0)
-    recon, _, _ = jax.jit(
-        lambda p, x, k: model.apply(p, x, rng=k, deterministic=True)
-    )(params, data, rng)
+    recon, _, _ = vae_forward(model, params, data, rng)
     vae_mse = _masked_mse_mean(model, params, recon, data, mask)
     if verbose:
         print(f"Decoder loss: {vae_mse}")
@@ -202,9 +202,7 @@ def vae_test(model, params, test_dataset, rng=None, verbose: bool = True) -> flo
     mask = jnp.asarray(test_dataset.mask)
     if rng is None:
         rng = jax.random.key(0)
-    recon, _, _ = jax.jit(
-        lambda p, x, k: model.apply(p, x, rng=k, deterministic=True)
-    )(params, data, rng)
+    recon, _, _ = vae_forward(model, params, data, rng)
     m = _masked_mse_mean(model, params, recon, data, mask)
     if verbose:
         print(f"Decoder loss: {m}")

@@ -127,11 +127,16 @@ def fused_adam(
     def init(params):
         flat, _ = ravel_pytree(params)
         n = flat.size
+        # mu and nu must be DISTINCT buffers: aliasing one array under two
+        # pytree leaves is a duplicate-donation hazard inside the donated
+        # epoch-scan carry (train/hensman.py:200)
         if _fuse(flat.dtype):
-            z = jnp.zeros((_padded_len(n),), jnp.float32)
+            mu = jnp.zeros((_padded_len(n),), jnp.float32)
+            nu = jnp.zeros((_padded_len(n),), jnp.float32)
         else:
-            z = jnp.zeros((n,), flat.dtype)
-        return FusedAdamState(count=jnp.zeros((), jnp.int32), mu=z, nu=z)
+            mu = jnp.zeros((n,), flat.dtype)
+            nu = jnp.zeros((n,), flat.dtype)
+        return FusedAdamState(count=jnp.zeros((), jnp.int32), mu=mu, nu=nu)
 
     def update(grads, state, params=None):
         del params

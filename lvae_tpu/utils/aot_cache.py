@@ -235,9 +235,16 @@ def save(key: str, compiled: Any) -> bool:
         blob = pickle.dumps((payload, in_tree, out_tree, dev_ids))
         d = cache_dir()
         fd, tmp = tempfile.mkstemp(dir=d)
-        with os.fdopen(fd, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, os.path.join(d, key + ".pkl"))
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, os.path.join(d, key + ".pkl"))
+        except Exception:  # noqa: BLE001 — don't leak multi-MB tmp blobs
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            return False
         return True
     except Exception:  # noqa: BLE001
         return False

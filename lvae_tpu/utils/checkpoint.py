@@ -31,12 +31,12 @@ FORMAT_VERSION = 2
 
 def _pack_leaf(x):
     """numpy-ify a leaf; typed PRNG keys are stored as raw key data."""
-    if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+    if _is_key(x):
         return {"__prng__": str(jax.random.key_impl(x)), "data": np.asarray(jax.random.key_data(x))}
     return np.asarray(x)
 
 
-def _unpack_leaf(x, template=None):
+def _unpack_leaf(x):
     if isinstance(x, dict) and "__prng__" in x:
         # rewrap with the SAVED impl (e.g. rbg vs threefry differ in key-data
         # shape and stream) — the session default may not match the writer's

@@ -255,3 +255,28 @@ def test_generate_split_source_draws_disjoint_instances(tmp_path, monkeypatch):
         assert len(ranges) == 2, (digit, ranges)
         for (o1, c1), (o2, _c2) in zip(ranges, ranges[1:]):
             assert o1 + c1 <= o2, f"digit {digit} splits overlap: {ranges}"
+
+
+def test_loader_uint8_wrap_parity(tmp_path):
+    """Reference-generated CSVs carry UNclipped ndimage.rotate overshoot
+    (Health_MNIST_generate.py writes fmt='%d' without clipping); the
+    reference loader wraps them through uint8 (dataset_def.py:71
+    ``np.array(digit, dtype='uint8')``: -5 -> 251, 260 -> 4). The rebuild's
+    loader must be byte-compatible on such artifacts."""
+    import pandas as pd
+
+    vals = np.zeros((2, 1296))
+    vals[0, 0], vals[0, 1], vals[1, 2] = -5, 260, 255
+    np.savetxt(tmp_path / "d.csv", vals, fmt="%d", delimiter=",")
+    labels = pd.DataFrame(
+        {
+            "Unnamed: 0": [0, 1], "age": [0.0, 1.0], "digit": ["3", "3"],
+            "gender": [0, 0], "id": [0, 0], "diagnosis": [0, 0],
+            "angle": [0.0, 0.0], "location": [0, 0], "disease_time": [0, 0],
+        }
+    )
+    labels.to_csv(tmp_path / "l.csv", index=False)
+    ds = load_healthmnist("d.csv", "l.csv", None, root_dir=str(tmp_path), conv=False)
+    np.testing.assert_allclose(ds.data[0, 0], 251 / 255.0, atol=1e-7)
+    np.testing.assert_allclose(ds.data[0, 1], 4 / 255.0, atol=1e-7)
+    np.testing.assert_allclose(ds.data[1, 2], 255 / 255.0, atol=1e-7)
