@@ -92,7 +92,11 @@ def test_cli_rotatedmnist_npy_end_to_end(tmp_path):
     def write(prefix, subjects, t, seed):
         r = np.random.default_rng(seed)
         n = subjects * t
-        data = r.integers(0, 256, size=(n, 784)).astype(np.float64)
+        # the paper's rotated-MNIST npy artifacts are floats already in
+        # [0, 1]; the loader (like torchvision ToTensor) passes floats
+        # through unscaled, so a 0..255-float fixture would train on raw
+        # 255-scale targets and NaN
+        data = r.integers(0, 256, size=(n, 784)).astype(np.float64) / 255.0
         q = 5  # [time, cont, subject, bin, bin]
         lab = np.zeros((n, q))
         lab[:, 0] = np.tile(np.arange(t), subjects)
