@@ -55,6 +55,17 @@ class LVAEPredictor(NamedTuple):
     @classmethod
     def from_pipeline(cls, pipeline) -> "LVAEPredictor":
         """Package a trained :class:`~lvae_tpu.pipeline.LVAEPipeline`."""
+        if not hasattr(getattr(pipeline.trainer, "state", None), "trainables"):
+            # VI-regime pipelines train free per-point latents, not an
+            # encoder — the amortised serving path would silently use the
+            # stale pre-trained encoder. The reference predicts VI models
+            # by optimising the prediction set's latents jointly
+            # (training.py:602-764) — use VITrainer.optimize_prediction_set.
+            raise TypeError(
+                "LVAEPredictor.from_pipeline needs an amortised trainer "
+                f"(got {type(pipeline.trainer).__name__}); for the VI "
+                "regime use VITrainer.optimize_prediction_set instead"
+            )
         vae_params, gp_params, noise = pipeline.current_params()
         mu, _ = encode_dataset(pipeline.model, vae_params, pipeline.dataset.data)
         return cls(

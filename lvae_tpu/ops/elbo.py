@@ -174,6 +174,40 @@ def kl_closed(K: jax.Array, mu: jax.Array, log_var: jax.Array) -> jax.Array:
     return 0.5 * (tr + qf - n + logdet_k - jnp.sum(log_var))
 
 
+def _w_cholesky(ops: GPBlockOperators):
+    """Cholesky of the shared ``W = K0zz + K0zx B⁻¹ K0xz`` operator and the
+    sparse-model log-determinant ``log|Σ| = log|W| + log|B| − log|K0zz|``.
+
+    Single source for gp_elbo and dubo. W is the same derived operator as
+    the predictor's H (ops/predict.py:97): it inherits K0zz's rank
+    deficiency, and the predictor observed NaN Cholesky at trained
+    hyperparameters without the relative jitter. f64 no-op, so golden
+    parity is untouched.
+    """
+    w = kx.add_rel_jitter(la.symmetrize(ops.K0zz + ops.K0zx_iB_K0xz))
+    lw = la.cholesky(w)
+    logdet_sigma = (
+        -ops.logdet_K0zz + ops.logdet_B + la.logdet_from_chol(lw, batch_dims=1)
+    )
+    return lw, logdet_sigma
+
+
+def _sigma_quadform(ops: GPBlockOperators, lw: jax.Array, y: jax.Array):
+    """``yᵀ Σ⁻¹ y`` per latent dim via Woodbury: ``yᵀB⁻¹y − ‖Lw⁻¹ K0zx B⁻¹ y‖²``."""
+    ib_y = jnp.einsum("lptu,lpu->lpt", ops.iB, y)
+    qf1 = jnp.einsum("lpt,lpt->l", y, ib_y)
+    pvec = jnp.einsum("lptm,lpt->lm", ops.K0xz, ib_y)
+    half = la.solve_triangular(lw, pvec[..., None])
+    return qf1 - jnp.sum(half[..., 0] ** 2, axis=-1)
+
+
+def _nystrom_trace(ops: GPBlockOperators):
+    """``tr(B⁻¹(K0_blockdiag − Q0))`` — the inducing-point slack term."""
+    return jnp.einsum("lptu,lptu->l", ops.iB, ops.K0_st) - jnp.einsum(
+        "lmn,lmn->l", ops.K0zx_iB_K0xz, ops.iK0zz
+    )
+
+
 @_full_precision
 def gp_elbo(
     ops: GPBlockOperators,
@@ -189,26 +223,9 @@ def gp_elbo(
     mask = ops.mask
     y = (yb * mask[..., None]).transpose(2, 0, 1)  # [L, P, T]
 
-    w = ops.K0zz + ops.K0zx_iB_K0xz
-    # same derived operator as the predictor's H (ops/predict.py:97): it
-    # inherits K0zz's rank deficiency, and the predictor observed NaN
-    # Cholesky at trained hyperparameters without the relative jitter.
-    # f64 no-op, so golden parity is untouched.
-    w = kx.add_rel_jitter(la.symmetrize(w))
-    lw = la.cholesky(w)
-    logdet_w = la.logdet_from_chol(lw, batch_dims=1)
-    logdet = -ops.logdet_K0zz + ops.logdet_B + logdet_w
-
-    ib_y = jnp.einsum("lptu,lpu->lpt", ops.iB, y)
-    qf1 = jnp.einsum("lpt,lpt->l", y, ib_y)
-    pvec = jnp.einsum("lptm,lpt->lm", ops.K0xz, ib_y)
-    half = la.solve_triangular(lw, pvec[..., None])
-    qf2 = jnp.sum(half[..., 0] ** 2, axis=-1)
-    qf = qf1 - qf2
-
-    tr = jnp.einsum("lptu,lptu->l", ops.iB, ops.K0_st) - jnp.einsum(
-        "lmn,lmn->l", ops.K0zx_iB_K0xz, ops.iK0zz
-    )
+    lw, logdet = _w_cholesky(ops)
+    qf = _sigma_quadform(ops, lw, y)
+    tr = _nystrom_trace(ops)
     n_real = jnp.sum(mask)
     const = -0.5 * n_real * jnp.log(2.0 * jnp.pi).astype(y.dtype)
     return const - 0.5 * (logdet + qf) - 0.5 * tr
@@ -232,26 +249,9 @@ def dubo(
     v = (jnp.exp(log_var_b) * mask[..., None]).transpose(2, 0, 1)
     log_v_masked = (log_var_b * mask[..., None]).transpose(2, 0, 1)
 
-    w = ops.K0zz + ops.K0zx_iB_K0xz
-    # same derived operator as the predictor's H (ops/predict.py:97): it
-    # inherits K0zz's rank deficiency, and the predictor observed NaN
-    # Cholesky at trained hyperparameters without the relative jitter.
-    # f64 no-op, so golden parity is untouched.
-    w = kx.add_rel_jitter(la.symmetrize(w))
-    lw = la.cholesky(w)
-    logdet_w = la.logdet_from_chol(lw, batch_dims=1)
-    logdet_sigma = -ops.logdet_K0zz + ops.logdet_B + logdet_w
-
-    ib_m = jnp.einsum("lptu,lpu->lpt", ops.iB, m)
-    qf1 = jnp.einsum("lpt,lpt->l", m, ib_m)
-    pvec = jnp.einsum("lptm,lpt->lm", ops.K0xz, ib_m)
-    half = la.solve_triangular(lw, pvec[..., None])
-    qf2 = jnp.sum(half[..., 0] ** 2, axis=-1)
-    qf = qf1 - qf2
-
-    tr = jnp.einsum("lptu,lptu->l", ops.iB, ops.K0_st) - jnp.einsum(
-        "lmn,lmn->l", ops.K0zx_iB_K0xz, ops.iK0zz
-    )
+    lw, logdet_sigma = _w_cholesky(ops)
+    qf = _sigma_quadform(ops, lw, m)
+    tr = _nystrom_trace(ops)
 
     logdet_d = jnp.sum(log_v_masked, axis=(1, 2))
     diag_ib = jnp.diagonal(ops.iB, axis1=-2, axis2=-1)  # [L, P, T]

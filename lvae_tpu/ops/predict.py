@@ -50,6 +50,40 @@ class PredictInputs(NamedTuple):
     align: jax.Array
 
 
+def _cohort_fold(spec0, spec1, kp0, kp1, noise, xb, mask, mu_b, z, eps):
+    """Fold the training cohort's block solves once — the shared first half
+    of :func:`gp_predict` and :func:`precompute_predict_basis`.
+
+    Returns ``(k0xz [L,P,T,M], k0zz [L,M,M], ib [L,P,T,T], ib_mu [L,P,T],
+    h_nojit [L,M,M], c [L,M])`` where ``h_nojit = symmetrize(K0zz + Σ_s
+    K0zx_s B_s⁻¹ K0xz_s)`` WITHOUT the f32 relative jitter (the serving
+    extension applies it after its low-rank update; gp_predict applies it
+    immediately) and ``c = Σ_s K0zx_s B_s⁻¹ μ_s``. K0zz carries the
+    adaptive jitter (kx.add_adaptive_jitter): H inherits K0zz's rank
+    deficiency — observed NaN Cholesky at trained hyperparameters
+    without it.
+    """
+    p, t, q = xb.shape
+    m_ind = z.shape[0]
+    x_flat = xb.reshape(p * t, q)
+    k0xz = kx.kernel_matrix(spec0, kp0, x_flat, z, mask1=mask.reshape(p * t))
+    latent_dim = k0xz.shape[0]
+    k0xz = k0xz.reshape(latent_dim, p, t, m_ind)
+    k0zz = kx.add_adaptive_jitter(kx.kernel_matrix(spec0, kp0, z, z), eps)
+
+    b = kx.block_b_operator(spec1, kp1, xb, mask, noise)
+    _, ib = la.cholesky_and_inverse(b)
+
+    ib_k0xz = ib @ k0xz
+    h_nojit = la.symmetrize(
+        k0zz + jnp.einsum("lptm,lptn->lmn", k0xz, ib_k0xz)
+    )
+    mu = (mu_b * mask[..., None]).transpose(2, 0, 1)  # [L, P, T]
+    ib_mu = jnp.einsum("lptu,lpu->lpt", ib, mu)
+    c = jnp.einsum("lptm,lpt->lm", k0xz, ib_mu)
+    return k0xz, k0zz, ib, ib_mu, h_nojit, c
+
+
 @_full_precision
 def gp_predict(
     spec0: kx.KernelSpec,
@@ -68,39 +102,24 @@ def gp_predict(
     """
     xb, mask, mu_b = inputs.xb, inputs.mask, inputs.mu_b
     Xb, Xmask, align = inputs.Xb, inputs.Xmask, inputs.align
-    p, t, q = xb.shape
+    _, _, q = xb.shape
     pq, tq, _ = Xb.shape
-    m_ind = z.shape[0]
     dtype = xb.dtype
     mask = mask.astype(dtype)
     Xmask = Xmask.astype(dtype)
 
-    x_flat = xb.reshape(p * t, q)
-    mask_flat = mask.reshape(p * t)
     X_flat = Xb.reshape(pq * tq, q)
     Xmask_flat = Xmask.reshape(pq * tq)
 
-    k0xz = kx.kernel_matrix(spec0, kp0, x_flat, z, mask1=mask_flat)
+    k0xz, k0zz, ib, ib_mu, h_nojit, c = _cohort_fold(
+        spec0, spec1, kp0, kp1, noise, xb, mask, mu_b, z, eps
+    )
     latent_dim = k0xz.shape[0]
-    k0xz = k0xz.reshape(latent_dim, p, t, m_ind)
-    # the training path's adaptive jitter (kx.add_adaptive_jitter): H =
-    # K0zz + Σ ... inherits K0zz's rank deficiency — observed NaN Cholesky
-    # at trained hyperparameters without it
-    k0zz = kx.add_adaptive_jitter(kx.kernel_matrix(spec0, kp0, z, z), eps)
     k0Xz = kx.kernel_matrix(spec0, kp0, X_flat, z, mask1=Xmask_flat)
 
-    b = kx.block_b_operator(spec1, kp1, xb, mask, noise)
-    _, ib = la.cholesky_and_inverse(b)
-
-    ib_k0xz = ib @ k0xz
-    h = k0zz + jnp.einsum("lptm,lptn->lmn", k0xz, ib_k0xz)
-    h = kx.add_rel_jitter(la.symmetrize(h))
+    h = kx.add_rel_jitter(h_nojit)
     lh = la.cholesky(h)
 
-    mu = (mu_b * mask[..., None]).transpose(2, 0, 1)  # [L, P, T]
-    ib_mu = jnp.einsum("lptu,lpu->lpt", ib, mu)
-
-    c = jnp.einsum("lptm,lpt->lm", k0xz, ib_mu)  # K0zx B⁻¹ μ
     sol = la.cho_solve(lh, c[..., None])[..., 0]  # H⁻¹ K0zx B⁻¹ μ
     back = jnp.einsum("lptm,lm->lpt", k0xz, sol)  # K0xz H⁻¹ ...
     mu_tilde = ib_mu - jnp.einsum("lptu,lpu->lpt", ib, back)  # [L, P, T]
@@ -257,27 +276,10 @@ def precompute_predict_basis(
     eps: float = 1e-6,
 ) -> PredictBasis:
     """Fold the training cohort's block solves into (H, c) once."""
-    p, t, q = xb.shape
-    m_ind = z.shape[0]
-    dtype = xb.dtype
-    mask = mask.astype(dtype)
-
-    x_flat = xb.reshape(p * t, q)
-    k0xz = kx.kernel_matrix(spec0, kp0, x_flat, z, mask1=mask.reshape(p * t))
-    latent_dim = k0xz.shape[0]
-    k0xz = k0xz.reshape(latent_dim, p, t, m_ind)
-    k0zz = kx.add_adaptive_jitter(kx.kernel_matrix(spec0, kp0, z, z), eps)
-
-    b = kx.block_b_operator(spec1, kp1, xb, mask, noise)
-    _, ib = la.cholesky_and_inverse(b)
-
-    ib_k0xz = ib @ k0xz
-    h_nojit = la.symmetrize(
-        k0zz + jnp.einsum("lptm,lptn->lmn", k0xz, ib_k0xz)
+    mask = mask.astype(xb.dtype)
+    _, _, _, _, h_nojit, c = _cohort_fold(
+        spec0, spec1, kp0, kp1, noise, xb, mask, mu_b, z, eps
     )
-    mu = (mu_b * mask[..., None]).transpose(2, 0, 1)  # [L, P, T]
-    ib_mu = jnp.einsum("lptu,lpu->lpt", ib, mu)
-    c = jnp.einsum("lptm,lpt->lm", k0xz, ib_mu)
     return PredictBasis(h_nojit=h_nojit, c=c)
 
 

@@ -520,7 +520,7 @@ class LVAEPipeline:
                     m_out, h_out = state.m_nat, state.H_nat
                 else:
                     m_out = tr.m
-                    h_out = tr.h_factor @ jnp.swapaxes(tr.h_factor, -1, -2)
+                    h_out = st.psd_from_factor(tr.h_factor)
                 save_reference_gp_state(
                     out, tr.gp, np.asarray(self.trainer.tdata.z),
                     np.asarray(m_out), np.asarray(h_out),

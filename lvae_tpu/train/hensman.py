@@ -156,7 +156,7 @@ def batch_loss(
         m_var, psd_h = m_nat, H_nat
     else:
         m_var = trainables.m
-        psd_h = trainables.h_factor @ jnp.swapaxes(trainables.h_factor, -1, -2)
+        psd_h = st.psd_from_factor(trainables.h_factor)
 
     kld, ng = eb.minibatch_kld(
         ops, m_var, psd_h, mu_b0, lv_b0,

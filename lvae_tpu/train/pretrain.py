@@ -177,6 +177,9 @@ class VAEPretrainer:
             for i, m in enumerate(ms):
                 epoch = done + i + 1
                 if log_every and epoch % log_every == 0:
+                    # "Average loss" is the RAW epoch sum — a reference
+                    # quirk kept verbatim (VAE.py:369-376 accumulates
+                    # loss.item() over batches and prints it undivided)
                     print(
                         "====> Epoch: %d - Average loss: %.4f  - KLD loss: %.3f"
                         "  - NLL loss: %.3f  - Recon loss: %.3f"

@@ -78,7 +78,11 @@ def full_batch_loss(
     rng: jax.Array,
 ) -> Tuple[jax.Array, StandardMetrics]:
     """One full-batch loss evaluation (training.py:484-573 semantics)."""
-    k_drop, k_sample = jax.random.split(rng)
+    # three disjoint streams: dropout, encoder reparameterisation, GP-bound
+    # latent samples — k_sample must not be re-split after the encoder
+    # consumed it (split children share the parent's counter stream, so the
+    # GPapprox samples would be deterministically tied to the encoder noise)
+    k_drop, k_sample, k_gp = jax.random.split(rng, 3)
     encoder = functools.partial(
         model.apply,
         trainables.vae,
@@ -142,7 +146,7 @@ def full_batch_loss(
             zb = mv.sample_latent(key, mu_b, lv_b)
             return -jnp.sum(eb.gp_elbo(ops, zb))
 
-        keys = jax.random.split(k_sample, cfg.num_samples)
+        keys = jax.random.split(k_gp, cfg.num_samples)
         gp_loss = jnp.mean(jax.vmap(one_sample)(keys))
     elif cfg.type_KL == "GPapprox_closed":
         ops = eb.gp_block_operators(
@@ -362,6 +366,11 @@ class StandardTrainer:
         pseudo_minibatch: bool = False,
     ):
         self.model = model
+        if cfg.spec1 is None:
+            # normalise once so every loss path can dereference cfg.spec1
+            # (an un-normalised None used to survive until the first jitted
+            # step and die there as an opaque trace-time AttributeError)
+            cfg = cfg._replace(spec1=kx.KernelSpec(components=()))
         self.cfg = cfg
         if pseudo_minibatch and cfg.type_KL not in ("GPapprox", "GPapprox_closed"):
             # the reference asserts the same (training.py:285)
@@ -414,7 +423,7 @@ class StandardTrainer:
         )
         gp = st.init_gp_params(
             cfg.spec0,
-            cfg.spec1 if cfg.spec1 is not None else kx.KernelSpec(components=()),
+            cfg.spec1,
             cfg.latent_dim,
             constrain_scales=cfg.constrain_scales,
             dtype=dtype,

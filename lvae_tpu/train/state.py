@@ -107,6 +107,18 @@ def init_variational(
     return jnp.asarray(m, dtype), jnp.asarray(h, dtype)
 
 
+def psd_from_factor(h_factor: jax.Array) -> jax.Array:
+    """``H = h hᵀ`` at full matmul precision.
+
+    GP-algebra invariant (CLAUDE.md): TPU's bf16 default can round the
+    product off the PSD cone before the jitter-free Cholesky inside
+    minibatch_kld consumes it. Single source for the non-natural-gradient
+    Hensman loss and the reference GP-state export.
+    """
+    with jax.default_matmul_precision("highest"):
+        return h_factor @ jnp.swapaxes(h_factor, -1, -2)
+
+
 def make_optimizer(
     learning_rate: float = 1e-3, kind: str | None = None
 ) -> optax.GradientTransformation:

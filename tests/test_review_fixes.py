@@ -414,3 +414,64 @@ def test_custom_vjp_backward_keeps_highest_precision():
     assert dots, "expected dot_general ops in the backward"
     bad = [ln for ln in dots if "HIGHEST" not in ln]
     assert not bad, f"default-precision dots in custom-vjp backward:\n" + "\n".join(bad)
+
+
+def test_psd_from_factor_full_precision():
+    """r3 corner review: the non-NG Hensman loss formed H = h h^T OUTSIDE
+    any default_matmul_precision('highest') context — bf16 on TPU, feeding
+    the jitter-free Cholesky in minibatch_kld. Pin the shared helper."""
+    import jax
+    import jax.numpy as jnp
+
+    from lvae_tpu.train import state as st
+
+    h = jnp.ones((2, 3, 3), jnp.float32)
+    txt = jax.jit(st.psd_from_factor).lower(h).as_text()
+    dots = [ln for ln in txt.splitlines() if "dot_general" in ln]
+    assert dots, "expected a dot_general for h @ h^T"
+    bad = [ln for ln in dots if "HIGHEST" not in ln]
+    assert not bad, "psd_from_factor dot lost full precision:\n" + "\n".join(bad)
+
+
+def test_standard_trainer_spec1_none_trains():
+    """r3 corner review: StandardConfig.spec1 is Optional and init
+    substituted an empty spec for GP params only — cfg.spec1 stayed None
+    and the first jitted step died with a trace-time AttributeError."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lvae_tpu.data.blocks import build_subject_blocks
+    from lvae_tpu.models import vae as mv
+    from lvae_tpu.train import standard as ts
+    from lvae_tpu.train import state as st
+    from tests.test_gppvae import make_cfg, tiny_cohort
+
+    p, t, num_dim = 4, 3, 12
+    ds = tiny_cohort(p=p, t=t, num_dim=num_dim)
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    cfg = make_cfg("closed", p=p, t=t)._replace(spec1=None)
+    model = mv.SimpleVAE(latent_dim=cfg.latent_dim, num_dim=num_dim,
+                         dtype=jnp.float64)
+    z = st.init_inducing_points(ds.labels, m_inducing=6, seed=0)
+    trainer = ts.StandardTrainer(model, cfg, ds, blocks, z, seed=0,
+                                 dtype=jnp.float64)
+    assert trainer.cfg.spec1 is not None  # normalised at construction
+    m = trainer.run_epoch()
+    assert np.isfinite(float(m.net))
+
+
+def test_from_pipeline_rejects_vi_regime():
+    """r3 corner review: LVAEPredictor.from_pipeline on a VI pipeline died
+    with a bare AttributeError ('VIState' has no 'trainables'); it must
+    raise a clear unsupported-regime error instead."""
+    import types
+
+    import pytest
+
+    from lvae_tpu.inference import LVAEPredictor
+
+    vi_like = types.SimpleNamespace(
+        trainer=types.SimpleNamespace(state=types.SimpleNamespace(mu=None))
+    )
+    with pytest.raises(TypeError, match="optimize_prediction_set"):
+        LVAEPredictor.from_pipeline(vi_like)
