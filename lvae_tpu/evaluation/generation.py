@@ -54,7 +54,17 @@ def gen_rotated_mnist_seqrecon_plot(
     image_hw=(36, 36), num_sets=8, seq_length=20,
 ):
     """Generation grid: one data row + two predicted rows per subject set
-    (predict_HealthMNIST.py:68-105)."""
+    (predict_HealthMNIST.py:68-105).
+
+    Two reference quirks kept verbatim: (a) set ``j``'s data row strides by
+    ``seq_length`` (20) while its two recon rows stride by ``2*seq_length``
+    (40), so on 40-row-per-subject cohorts the ground-truth frames above a
+    prediction pair come from a DIFFERENT subject for j >= 1 — exactly what
+    predict_HealthMNIST.py:85-103 renders; (b) ``labels_recon`` is accepted
+    but never read (the reference indexes ``labels_train`` for every row,
+    :93-103), and the one reference call site passes the same array twice
+    (:142).
+    """
     import matplotlib
 
     matplotlib.use("Agg")

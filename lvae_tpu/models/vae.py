@@ -97,7 +97,9 @@ class ConvVAE(nn.Module):
         self.drop = nn.Dropout(self.p)
         self.raw_log_vy = self.param(
             "raw_log_vy",
-            lambda key: jnp.full((self.num_dim,), _vy_init_raw(self.vy_init, self.dtype)),
+            # param_dtype stays f32 like every flax layer param — model_dtype
+            # ('bfloat16 keeps params f32', config.py) is compute-only
+            lambda key: jnp.full((self.num_dim,), _vy_init_raw(self.vy_init, jnp.float32)),
         )
 
     @property
@@ -154,7 +156,9 @@ class SimpleVAE(nn.Module):
         self.fc4 = nn.Dense(self.num_dim, dtype=self.dtype)
         self.raw_log_vy = self.param(
             "raw_log_vy",
-            lambda key: jnp.full((self.num_dim,), _vy_init_raw(self.vy_init, self.dtype)),
+            # param_dtype stays f32 like every flax layer param — model_dtype
+            # ('bfloat16 keeps params f32', config.py) is compute-only
+            lambda key: jnp.full((self.num_dim,), _vy_init_raw(self.vy_init, jnp.float32)),
         )
 
     @property

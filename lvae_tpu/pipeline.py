@@ -50,7 +50,14 @@ class LVAEPipeline:
         self.cfg = cfg
         self.dtype = _dtype_of(cfg)
         ds = datasets or {}
-        self.dataset = ds.get("train") or load_dataset(cfg, "train")
+
+        def given_or(name, loader):
+            # None-check, not truthiness: an explicitly passed (possibly
+            # len==0) dataset must never be silently swapped for cfg paths
+            got = ds.get(name)
+            return got if got is not None else loader()
+
+        self.dataset = given_or("train", lambda: load_dataset(cfg, "train"))
         if self.dataset is None:
             raise ValueError("No training dataset configured")
         # VI also consumes a prediction cohort when one is configured
@@ -59,17 +66,20 @@ class LVAEPipeline:
             cfg.run_tests or cfg.generate_images
             or cfg.variational_inference_training
         )
-        self.prediction_dataset = ds.get("prediction") or (
-            load_dataset(cfg, "prediction") if want_pred else None
+        self.prediction_dataset = given_or(
+            "prediction",
+            lambda: load_dataset(cfg, "prediction") if want_pred else None,
         )
-        self.generation_dataset = ds.get("generation") or (
-            load_dataset(cfg, "generation") if cfg.generate_images else None
+        self.generation_dataset = given_or(
+            "generation",
+            lambda: load_dataset(cfg, "generation") if cfg.generate_images else None,
         )
-        self.validation_dataset = ds.get("validation") or (
-            load_dataset(cfg, "validation") if cfg.run_validation else None
+        self.validation_dataset = given_or(
+            "validation",
+            lambda: load_dataset(cfg, "validation") if cfg.run_validation else None,
         )
-        self.test_dataset = ds.get("test") or (
-            load_dataset(cfg, "test") if cfg.run_tests else None
+        self.test_dataset = given_or(
+            "test", lambda: load_dataset(cfg, "test") if cfg.run_tests else None
         )
         will_test = cfg.run_tests and self.test_dataset is not None
         will_gen = cfg.generate_images and self.generation_dataset is not None
@@ -300,6 +310,19 @@ class LVAEPipeline:
         hist = getattr(trainer, "history", None) or []
         start = getattr(self, "_metrics_logged", 0)
         fresh = hist[start:]
+        out = cfg.results_path or cfg.save_path
+        last = os.path.join(out, "model_last.ckpt")
+        if cfg.auto_recover:
+            from lvae_tpu.train.state import tree_finite
+
+            if not bool(tree_finite(trainer.state.trainables)):
+                # recover BEFORE logging: the NaN'd chunk's epochs are
+                # REPLAYED (fit rewinds on "rollback"), so its metrics must
+                # not enter metrics.jsonl/diagnostics.pkl as real epochs
+                self._recover(trainer, epoch, last)
+                if fresh:
+                    del trainer.history[start:]
+                return "rollback"
         if fresh:
             base = epoch - len(fresh)
             for i, m in enumerate(fresh):
@@ -314,16 +337,13 @@ class LVAEPipeline:
                 metrics._asdict() if hasattr(metrics, "_asdict") else dict(metrics),
             )
         if cfg.auto_recover:
-            from lvae_tpu.train.state import tree_finite
-
-            out = cfg.results_path or cfg.save_path
-            last = os.path.join(out, "model_last.ckpt")
-            if bool(tree_finite(trainer.state.trainables)):
-                # rolling known-good snapshot (doubles as crash-resume point)
-                self._save_ckpt(last, trainer.state, metadata={"epoch": epoch})
-            else:
-                self._recover(trainer, epoch, last)
-                return
+            # rolling known-good snapshot (doubles as crash-resume point);
+            # finiteness was already checked above
+            self._save_ckpt(last, trainer.state, metadata={"epoch": epoch})
+        elif cfg.checkpoint_every > 0 and epoch % cfg.checkpoint_every == 0:
+            # the flag's advertised cadence (a crash at epoch 900 of 1000
+            # must not lose everything just because auto_recover is off)
+            self._save_ckpt(last, trainer.state, metadata={"epoch": epoch})
         if cfg.debug_nans:
             from lvae_tpu.utils.debug import assert_state_finite
 
@@ -335,7 +355,9 @@ class LVAEPipeline:
         # non-best-tracking report, as in the reference.
         if self.validation_dataset is None:
             return
-        if cfg.test_freq > 0 and epoch % cfg.test_freq != 0:
+        if cfg.test_freq <= 0 or epoch % cfg.test_freq != 0:
+            # test_freq<=0 DISABLES the in-training cadence (it used to
+            # invert: every chunk validated, generated and checkpointed)
             return
         vae_params, gp_params, noise = self.current_params()
         res = validate(
@@ -407,15 +429,21 @@ class LVAEPipeline:
             self.build_trainer()
         start = time.perf_counter()
         fit_kwargs = dict(log_every=1, callback=self._epoch_callback)
-        try:
-            # the multi-epoch dispatch chunk must divide both cadences so the
-            # callback observes every checkpoint AND every validation epoch
-            chunk = max(1, self.cfg.checkpoint_every)
-            if self.cfg.test_freq > 0:
-                chunk = math.gcd(chunk, self.cfg.test_freq)
-            fit_kwargs["chunk"] = chunk
-        except TypeError:
-            pass
+        # the multi-epoch dispatch chunk must divide both cadences so the
+        # callback observes every checkpoint AND every validation epoch
+        chunk = max(1, int(self.cfg.checkpoint_every or 0))
+        if self.cfg.test_freq and self.cfg.test_freq > 0:
+            chunk = math.gcd(chunk, int(self.cfg.test_freq))
+        if chunk == 1 and max(
+            int(self.cfg.checkpoint_every or 0), int(self.cfg.test_freq or 0)
+        ) > 1:
+            print(
+                "NOTE: coprime --checkpoint_every/--test_freq collapse the "
+                "multi-epoch dispatch chunk to 1 (one device round trip per "
+                "epoch — slow on a remote chip); align the cadences to keep "
+                "multi-epoch dispatch"
+            )
+        fit_kwargs["chunk"] = chunk
         if self.cfg.profile:
             # jax.profiler trace (replaces the reference's wall-clock-only
             # timing, LVAE.py:304-337); view with tensorboard/xprof
@@ -617,16 +645,10 @@ class LVAEPipeline:
             )
             if cfg.generate_images and self.generation_dataset is not None:
                 # variational_complete_gen (predict_HealthMNIST.py:145-172):
-                # decode GP-predicted latents from the jointly-optimised cohort
-                prediction_x = np.concatenate(
-                    [
-                        np.asarray(self.prediction_dataset.labels),
-                        trainer.labels[trainer.order],
-                    ],
-                    0,
-                )
-                prediction_mu = np.concatenate(
-                    [mu_pred, np.asarray(trainer.state.mu)], 0
+                # decode GP-predicted latents from the jointly-optimised
+                # cohort, in the trainer's own row order (single source)
+                prediction_x, prediction_mu = trainer.joint_cohort(
+                    self.prediction_dataset, mu_pred
                 )
                 noise = (
                     jnp.ones((cfg.latent_dim,))

@@ -508,5 +508,9 @@ class HensmanTrainer:
                     )
             done += n
             if callback is not None:
-                callback(self, done, ms[-1])
+                if callback(self, done, ms[-1]) == "rollback":
+                    # failure recovery restored the previous chunk's
+                    # snapshot — REPLAY these epochs instead of silently
+                    # training fewer than reported (pipeline._recover)
+                    done -= n
         return self.history

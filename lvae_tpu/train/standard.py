@@ -470,5 +470,8 @@ class StandardTrainer:
                     )
             done += n
             if callback is not None:
-                callback(self, done, ms[-1])
+                if callback(self, done, ms[-1]) == "rollback":
+                    # failure recovery restored the previous chunk's
+                    # snapshot — replay these epochs (pipeline._recover)
+                    done -= n
         return self.history

@@ -191,6 +191,22 @@ class VITrainer:
             done += n
         return self.history
 
+    def _joint_labels(self, prediction_dataset) -> np.ndarray:
+        """[prediction rows; trained rows in subject order] — the phase-2
+        joint cohort's row layout (training.py:688-707)."""
+        return np.concatenate(
+            [np.asarray(prediction_dataset.labels), self.labels[self.order]], 0
+        )
+
+    def joint_cohort(self, prediction_dataset, mu_pred):
+        """(labels, mu) of the jointly-inferred cohort, row-aligned with
+        :meth:`optimize_prediction_set`'s internal construction — the
+        conditioning set downstream GP prediction/generation must use
+        (single source; pipeline.run_vi used to rebuild it by hand)."""
+        labels = self._joint_labels(prediction_dataset)
+        mu = np.concatenate([np.asarray(mu_pred), np.asarray(self.state.mu)], 0)
+        return labels, mu
+
     def optimize_prediction_set(
         self, prediction_dataset, epochs: int = 1000, learning_rate: float = 1e-3,
         log_every: int = 100, seed: int = 1, chunk: int = 100,
@@ -202,9 +218,7 @@ class VITrainer:
 
         model, cfg, dtype = self.model, self.cfg, self.dtype
         mu0, lv0 = encode_dataset(model, self.state.vae, prediction_dataset.data)
-        joint_labels = np.concatenate(
-            [np.asarray(prediction_dataset.labels), self.labels[self.order]], 0
-        )
+        joint_labels = self._joint_labels(prediction_dataset)
         jblocks = build_subject_blocks(joint_labels, id_covariate=self._id_cov())
         # Ragged joint cohorts are fine HERE (unlike fit(), whose recon loss
         # reads the gathered data_ordered and would double-count padded rows):

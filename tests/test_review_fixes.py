@@ -475,3 +475,101 @@ def test_from_pipeline_rejects_vi_regime():
     )
     with pytest.raises(TypeError, match="optimize_prediction_set"):
         LVAEPredictor.from_pipeline(vi_like)
+
+
+def test_raw_log_vy_param_stays_f32_under_bf16():
+    """r3 review: raw_log_vy was created in the COMPUTE dtype, so
+    model_dtype=bfloat16 quantized the observation-noise parameter (and its
+    Adam moments) to bf16 while every flax layer param stayed f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from lvae_tpu.models import vae as mv
+
+    model = mv.SimpleVAE(latent_dim=3, num_dim=20, dtype=jnp.bfloat16)
+    params = model.init(jax.random.key(0), jnp.zeros((2, 20), jnp.bfloat16),
+                        deterministic=True)
+    assert params["params"]["raw_log_vy"].dtype == jnp.float32
+    assert params["params"]["fc1"]["kernel"].dtype == jnp.float32
+
+
+def test_checkpoint_every_cadence_without_auto_recover(tmp_path):
+    """r3 review: without auto_recover the checkpoint_every flag wrote NO
+    periodic checkpoint at all — a crash lost the whole run."""
+    import os
+
+    from lvae_tpu.pipeline import LVAEPipeline
+    from tests.test_pipeline import healthmnist_like, make_cfg
+
+    cfg = make_cfg(
+        str(tmp_path), epochs=2, run_validation=False, generate_images=False,
+        run_tests=False, auto_recover=False, checkpoint_every=1, test_freq=0,
+    )
+    pipeline = LVAEPipeline(cfg, {"train": healthmnist_like(p=6, t=5, seed=0)})
+    pipeline.build_trainer()
+    pipeline.train()
+    assert os.path.exists(os.path.join(str(tmp_path), "model_last.ckpt"))
+
+
+def test_test_freq_zero_disables_validation(tmp_path):
+    """r3 review: test_freq=0 used to INVERT (validate+checkpoint on every
+    chunk); it must disable the in-training cadence."""
+    import os
+
+    from lvae_tpu.pipeline import LVAEPipeline
+    from tests.test_pipeline import healthmnist_like, make_cfg
+
+    ds = healthmnist_like(p=6, t=5, seed=0)
+    cfg = make_cfg(
+        str(tmp_path), epochs=2, run_validation=True, generate_images=False,
+        run_tests=False, test_freq=0, checkpoint_every=1,
+    )
+    pipeline = LVAEPipeline(cfg, {"train": ds, "validation": ds})
+    pipeline.build_trainer()
+    pipeline.train()
+    assert not os.path.exists(os.path.join(str(tmp_path), "model_best.ckpt"))
+    assert pipeline.best["epoch"] is None or pipeline.best["val"] == float("inf")
+
+
+def test_auto_recover_rollback_replays_chunk(tmp_path):
+    """r3 review: recovery used to roll the STATE back while fit()'s epoch
+    counter kept advancing — the NaN'd chunk's epochs were silently dropped
+    and its NaN metrics stayed in metrics.jsonl. Now the callback returns
+    'rollback', fit replays the chunk, and the NaN metrics are discarded."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lvae_tpu.pipeline import LVAEPipeline
+    from tests.test_pipeline import healthmnist_like, make_cfg
+
+    cfg = make_cfg(
+        str(tmp_path), epochs=2, run_validation=False, generate_images=False,
+        run_tests=False, auto_recover=True, checkpoint_every=1, test_freq=1,
+    )
+    pipeline = LVAEPipeline(cfg, {"train": healthmnist_like(p=6, t=5, seed=0)})
+    trainer = pipeline.build_trainer()
+    pipeline.train()  # snapshot exists now
+    n_hist = len(trainer.history)
+
+    tr = trainer.state.trainables
+    bad = trainer.state._replace(
+        trainables=tr._replace(vae=jax.tree.map(lambda a: a * jnp.nan, tr.vae))
+    )
+    trainer.state = bad
+    trainer.history.append(trainer.history[-1])  # the poisoned chunk's metric
+    out = pipeline._epoch_callback(trainer, n_hist + 1, trainer.history[-1])
+    assert out == "rollback"
+    assert len(trainer.history) == n_hist, "NaN chunk's metrics not dropped"
+
+    # fit-level: the rollback signal makes fit rewind and replay
+    calls = []
+
+    def cb(tr_, done, m):
+        calls.append(done)
+        if len(calls) == 1:
+            return "rollback"
+
+    trainer.fit(2, log_every=0, callback=cb, chunk=2)
+    assert calls == [2, 2], calls  # chunk replayed after the rollback
+    assert np.isfinite(float(trainer.history[-1].net))
