@@ -134,12 +134,18 @@ def auroc(scores: np.ndarray, y: np.ndarray) -> float:
 
 
 def logistic_auroc(features: np.ndarray, y: np.ndarray, seed: int = 0) -> float:
-    """5-fold CV logistic regression AUROC on standardised features (jax)."""
+    """5-fold CV logistic regression AUROC on standardised features (jax).
+
+    Standardisation is FOLD-LOCAL (fit on the train rows, applied to the
+    test rows) so the supervised stage never reads test-fold statistics.
+    The unsupervised representations themselves (encoder, PCA basis) are
+    deliberately fit on the full cohort — the paper's own semi-supervised
+    protocol, applied symmetrically to every method in the panel.
+    """
     import jax
     import jax.numpy as jnp
     import optax
 
-    feats = (features - features.mean(0)) / (features.std(0) + 1e-6)
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(y))
     folds = np.array_split(order, 5)
@@ -147,6 +153,9 @@ def logistic_auroc(features: np.ndarray, y: np.ndarray, seed: int = 0) -> float:
     for k in range(5):
         test_idx = folds[k]
         train_idx = np.concatenate([folds[j] for j in range(5) if j != k])
+        mu_f = features[train_idx].mean(0)
+        sd_f = features[train_idx].std(0) + 1e-6
+        feats = (features - mu_f) / sd_f
         xtr = jnp.asarray(feats[train_idx], jnp.float32)
         ytr = jnp.asarray(y[train_idx], jnp.float32)
         params = jnp.zeros(feats.shape[1] + 1, jnp.float32)

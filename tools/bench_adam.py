@@ -16,15 +16,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_CACHE = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-try:
-    import jax
+from lvae_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 
-    os.makedirs(_CACHE, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # noqa: BLE001
-    pass
+enable_compile_cache()
 
 import jax.numpy as jnp  # noqa: E402
 import optax  # noqa: E402
@@ -33,28 +27,9 @@ STEPS = 200
 
 
 def real_trainables():
-    from bench import KERNEL_KW, IMG, LATENT, M_IND, P, SPB, T, synth_cohort
-    from lvae_tpu.data.blocks import build_subject_blocks
-    from lvae_tpu.data.datasets import ArrayDataset
-    from lvae_tpu.models.vae import ConvVAE
-    from lvae_tpu.ops import kernels as kx
-    from lvae_tpu.train import state as st
-    from lvae_tpu.train.hensman import HensmanConfig, HensmanTrainer
+    from bench import build_bench_trainer
 
-    data, labels, mask = synth_cohort()
-    ds = ArrayDataset(data=data, labels=labels, mask=mask)
-    blocks = build_subject_blocks(labels, id_covariate=2)
-    spec0, spec1 = kx.split_kernel_spec(id_covariate=2, **KERNEL_KW)
-    cfg = HensmanConfig(
-        spec0=spec0, spec1=spec1, latent_dim=LATENT, P_tot=P, N_tot=P * T,
-        weight=0.15, loss_function="mse", natural_gradient=True,
-        natural_gradient_lr=0.01, constrain_scales=True, eps=1e-5,
-        dropout=False,
-    )
-    model = ConvVAE(latent_dim=LATENT, num_dim=IMG * IMG, p=0.0)
-    z = st.init_inducing_points(labels, M_IND, seed=0)
-    trainer = HensmanTrainer(model, cfg, ds, blocks, z, subjects_per_batch=SPB)
-    return trainer.state.trainables
+    return build_bench_trainer().state.trainables
 
 
 def bench_opt(name, opt, params, steps=STEPS, reps=5):

@@ -38,10 +38,14 @@ torch.manual_seed(0)
 
 # torch.solve was removed upstream; reference code (elbo_functions.py:115,
 # utils.py:184,191) uses the legacy signature solve(B, A) -> (X, LU).
-if not callable(getattr(torch, "solve", None)) or True:
-    def _legacy_solve(b, a):
-        return torch.linalg.solve(a, b), a
-    torch.solve = _legacy_solve
+# NB: modern torch still EXPOSES a callable torch.solve stub that raises
+# "now removed" when called, so a callable() presence test cannot gate this
+# — override unconditionally.
+def _legacy_solve(b, a):
+    return torch.linalg.solve(a, b), a
+
+
+torch.solve = _legacy_solve
 
 sys.path.insert(0, "/root/reference")
 
@@ -316,11 +320,9 @@ def main():
         # KL_closed uses the *combined* kernel K0+K1 over all N rows
         # (LVAE.py:243-258 passes the un-split covar_module).
         kfull = gm.AdditiveKernel(list(k0l.kernels) + list(k1l.kernels))
-        K = kfull(tx, tx) + likl.noise * torch.eye(N)
         klc = ef.KL_closed(
             _Eval(kfull), tx, likl, torch.zeros(N), tmu[:, l], tlv[:, l]
         )
-        del K
         klc_vals.append(klc.item())
     out["elbo_per_dim"] = np.asarray(elbo_vals)
     out["dubo_per_dim"] = np.asarray(dubo_vals)

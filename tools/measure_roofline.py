@@ -29,27 +29,11 @@ enable_compile_cache()
 
 
 def build_trainer():
-    import bench as b
-    from lvae_tpu.data.blocks import build_subject_blocks
-    from lvae_tpu.data.datasets import ArrayDataset
-    from lvae_tpu.models.vae import ConvVAE
-    from lvae_tpu.ops import kernels as kx
-    from lvae_tpu.train import state as st
-    from lvae_tpu.train.hensman import HensmanConfig, HensmanTrainer
+    # single source with the benchmark: measure_roofline must profile the
+    # SAME program bench.py reports
+    from bench import build_bench_trainer
 
-    data, labels, mask = b.synth_cohort()
-    ds = ArrayDataset(data=data, labels=labels, mask=mask)
-    blocks = build_subject_blocks(labels, id_covariate=2)
-    spec0, spec1 = kx.split_kernel_spec(id_covariate=2, **b.KERNEL_KW)
-    cfg = HensmanConfig(
-        spec0=spec0, spec1=spec1, latent_dim=b.LATENT, P_tot=b.P,
-        N_tot=b.P * b.T, weight=0.15, loss_function="mse",
-        natural_gradient=True, natural_gradient_lr=0.01,
-        constrain_scales=True, eps=1e-5, dropout=False,
-    )
-    model = ConvVAE(latent_dim=b.LATENT, num_dim=b.IMG * b.IMG, p=0.0)
-    z = st.init_inducing_points(labels, b.M_IND, seed=0)
-    return HensmanTrainer(model, cfg, ds, blocks, z, subjects_per_batch=b.SPB)
+    return build_bench_trainer()
 
 
 def gviz_rows(table):

@@ -25,15 +25,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_CACHE = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-try:
-    import jax
+from lvae_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 
-    os.makedirs(_CACHE, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # noqa: BLE001
-    pass
+enable_compile_cache()
 
 import jax.numpy as jnp  # noqa: E402
 
