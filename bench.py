@@ -413,7 +413,8 @@ def _bench_digest():
         h.update(f.read())
     env = sorted(
         (k, v) for k, v in os.environ.items()
-        if k.startswith("BENCH_") and k != "BENCH_NO_PROBE"
+        if (k.startswith("BENCH_") and k != "BENCH_NO_PROBE")
+        or k in ("LVAE_OPT", "LVAE_S2D")  # module switches change the program
     )
     h.update(repr(env).encode())
     return h.hexdigest()

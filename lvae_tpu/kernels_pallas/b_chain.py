@@ -1,0 +1,310 @@
+"""Fused per-subject B-operator chain (Pallas TPU kernel).
+
+One kernel computes, per (latent, subject) block, everything the GP bounds
+need from the block-diagonal side of the sparse model (the reference builds
+these as separate GPyTorch/torch ops, elbo_functions.py:54-74, 171-186):
+
+    K0_blocks, K1_blocks  →  B = K1 + diag(mask·σ² + (1−mask))
+                          →  chol(B), B⁻¹, log|B|, tr(B⁻¹ K0_blocks)
+
+emitting only what downstream consumes — ``B⁻¹ [L,S,T,T]`` plus the two
+scalars per (l,s) — so the K0/K1/B/chol(B) stacks never round-trip HBM and
+~8 separate op executions per training step collapse into one. The layout is
+batch-on-lanes ([T, T, 128] tiles over the flattened L·S axis), the same
+recipe as kernels_pallas/cholesky.py; the kernel-build logic matches
+kernels_pallas/kernel_matrix.py's block-pair builder.
+
+Autodiff: custom VJP in plain jnp — d(B⁻¹) = −B⁻¹ Ḡ B⁻¹, d log|B| = B⁻¹,
+d tr(B⁻¹K0) = (−B⁻¹K0B⁻¹ w.r.t. B, B⁻¹ w.r.t. K0) — then the shared
+``block_param_grads`` maps the K-stack cotangents to (scale, 1/2ℓ²) params.
+
+Default OFF (``ops.kernels.use_pallas_b_chain``) pending an on-chip A/B;
+forced on (interpreter) in tests/test_b_chain.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lvae_tpu.kernels_pallas.kernel_matrix import (
+    block_param_grads,
+    masked_block_stack,
+)
+from lvae_tpu.ops import kernels as kx
+
+_LANE = 128
+MAX_T = 64  # VMEM: ~5 [T, T, 128] f32 buffers live; T=64 ≈ 10.5 MB of ~16 MB
+
+
+def _make_body(spec0: kx.KernelSpec, spec1: kx.KernelSpec, T: int):
+    def body(x_ref, m_ref, s0_ref, g0_ref, s1_ref, g1_ref, nz_ref,
+             ib_ref, logdet_ref, tr_ref):
+        x = x_ref[:]  # [Q, T, Bt] covariate value at time t, per batch lane
+        m = m_ref[:]  # [T, Bt]
+        bt = m.shape[1]
+        mm = m[:, None, :] * m[None, :, :]  # [T, T, Bt]
+
+        def accumulate(comps, s_ref, g_ref):
+            acc = jnp.zeros((T, T, bt), jnp.float32)
+            for c, comp in enumerate(comps):
+                d = mm
+                for col in comp.eq_cols:
+                    d = d * (x[col][:, None] == x[col][None, :]).astype(jnp.float32)
+                for col in comp.and_cols:
+                    d = d * ((x[col][:, None] + x[col][None, :]) == 2.0).astype(
+                        jnp.float32
+                    )
+                if comp.cat_mod[0] >= 0:
+                    col, num = comp.cat_mod
+                    eq = x[col][:, None] == x[col][None, :]
+                    d = d * jnp.where(eq, 1.0, -1.0 / (num - 1)).astype(jnp.float32)
+                sc = s_ref[c][None, None, :]  # [1, 1, Bt]
+                if comp.rbf_col >= 0:
+                    diff = x[comp.rbf_col][:, None] - x[comp.rbf_col][None, :]
+                    term = sc * jnp.exp(-(diff * diff) * g_ref[c][None, None, :]) * d
+                else:
+                    term = sc * d
+                acc = acc + term
+            return acc
+
+        k0 = accumulate(spec0.components, s0_ref, g0_ref)
+        k1 = accumulate(spec1.components, s1_ref, g1_ref)
+
+        # B = K1 + diag(mask·σ² + (1−mask)) — unit pivots on padding
+        # (ops/kernels.block_b_operator semantics)
+        diagv = m * nz_ref[0][None, :] + (1.0 - m)  # [T, Bt]
+        row3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, 1), 0)
+        col3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, 1), 1)
+        eye3 = (row3 == col3).astype(jnp.float32)
+        b = k1 + eye3 * diagv[:, None, :]
+
+        # --- column Cholesky, unrolled (kernels_pallas/cholesky.py recipe),
+        # accumulating log|B| = Σ log pivot on the fly
+        col_onehot = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
+        row_onehot = jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (T, bt), 0)
+
+        def upd_col(mat, j, colv):
+            return mat + colv[:, None, :] * (col_onehot == j).astype(mat.dtype)
+
+        def upd_row(mat, i, rowv):
+            return mat + rowv[None] * (row_onehot == i).astype(mat.dtype)
+
+        l = jnp.zeros_like(b)
+        logdet = jnp.zeros((bt,), jnp.float32)
+        for j in range(T):
+            if j:
+                acc2 = b[:, j] - jnp.sum(l[:, :j] * l[j, :j][None], axis=1)
+            else:
+                acc2 = b[:, j]
+            piv = acc2[j]  # [Bt]
+            logdet = logdet + jnp.log(piv)
+            inv_d = jax.lax.rsqrt(piv)
+            colv = acc2 * inv_d[None]
+            colv = jnp.where(row_iota >= j, colv, 0.0)
+            l = upd_col(l, j, colv)
+
+        # --- M = L⁻¹ by forward substitution
+        mi = jnp.zeros_like(b)
+        for i in range(T):
+            e_i = jnp.where(row_iota == i, 1.0, 0.0).astype(b.dtype)
+            if i:
+                s = jnp.sum(l[i, :i][:, None] * mi[:i], axis=0)
+            else:
+                s = jnp.zeros_like(e_i)
+            mi = upd_row(mi, i, (e_i - s) / l[i, i][None])
+
+        # --- B⁻¹ = MᵀM row by row; fold tr(B⁻¹ K0) while rows are in hand
+        tr = jnp.zeros((bt,), jnp.float32)
+        for i in range(T):
+            inv_row = jnp.sum(mi * mi[:, i][:, None], axis=0)  # [T, Bt]
+            ib_ref[i, :] = inv_row
+            tr = tr + jnp.sum(inv_row * k0[i], axis=0)
+        logdet_ref[0] = logdet
+        tr_ref[0] = tr
+
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("spec0", "spec1", "interpret"))
+def _b_chain_pallas(spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
+                    interpret=False):
+    """Constrained params + [S, T, Q] blocks → (iB [L,S,T,T], logdet [L],
+    tr(B⁻¹K0) [L]), all f32."""
+    s_dim, t_dim, q = xb.shape
+    l = s0.shape[0]
+    b = l * s_dim
+    pad = (-b) % _LANE
+    bp = b + pad
+
+    def lanes(a2):  # [..., B] → padded [..., Bp]
+        if not pad:
+            return a2
+        widths = [(0, 0)] * (a2.ndim - 1) + [(0, pad)]
+        return jnp.pad(a2, widths)
+
+    # covariates/mask replicate over L (they don't depend on the latent dim)
+    xf = jnp.swapaxes(xb.astype(jnp.float32), 0, 2)  # [Q, T, S]
+    xr = lanes(jnp.broadcast_to(xf[:, :, None], (q, t_dim, l, s_dim))
+               .reshape(q, t_dim, b))
+    mf = jnp.swapaxes(mask.astype(jnp.float32), 0, 1)  # [T, S]
+    mr = lanes(jnp.broadcast_to(mf[:, None], (t_dim, l, s_dim))
+               .reshape(t_dim, b))
+
+    def per_lane(p):  # [L, C] → [C, Bp] (scale of lane b = p[l(b), c])
+        c = p.shape[1]
+        return lanes(
+            jnp.broadcast_to(
+                jnp.swapaxes(p.astype(jnp.float32), 0, 1)[:, :, None],
+                (c, l, s_dim),
+            ).reshape(c, b)
+        )
+
+    nzr = lanes(jnp.broadcast_to(
+        noise.astype(jnp.float32)[:, None], (l, s_dim)
+    ).reshape(1, b))
+
+    c0 = len(spec0.components)
+    c1 = len(spec1.components)
+    grid = (bp // _LANE,)
+    ib_t, logdet, tr = pl.pallas_call(
+        _make_body(spec0, spec1, t_dim),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, t_dim, _LANE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_dim, _LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c0, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c0, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((t_dim, t_dim, _LANE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_dim, t_dim, bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, bp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(xr, mr, per_lane(s0), per_lane(g0), per_lane(s1), per_lane(g1), nzr)
+
+    ib = jnp.transpose(ib_t[:, :, :b], (2, 0, 1)).reshape(l, s_dim, t_dim, t_dim)
+    logdet_l = jnp.sum(logdet[0, :b].reshape(l, s_dim), axis=1)
+    tr_l = jnp.sum(tr[0, :b].reshape(l, s_dim), axis=1)
+    return ib, logdet_l, tr_l
+
+
+def _auto_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_b_chain(spec0, spec1, s0, g0, s1, g1, noise, xb, mask):
+    """(B⁻¹ [L,S,T,T], log|B| [L], tr(B⁻¹K0) [L]) from CONSTRAINED params.
+
+    Differentiable in (s0, g0, s1, g1, noise); covariates/mask are data
+    (inducing points and covariates are frozen in every reference regime,
+    LVAE.py:199-208)."""
+    return _b_chain_pallas(
+        spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
+        interpret=_auto_interpret(),
+    )
+
+
+def _b_chain_fwd(spec0, spec1, s0, g0, s1, g1, noise, xb, mask):
+    out = _b_chain_pallas(
+        spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
+        interpret=_auto_interpret(),
+    )
+    ib, _, _ = out
+    return out, (s0, g0, s1, g1, noise, xb, mask, ib)
+
+
+def _b_chain_bwd(spec0, spec1, res, cots):
+    # custom_vjp backwards trace outside the caller's _full_precision
+    # context — re-enter it (the GP-algebra invariant, CLAUDE.md numerics)
+    with jax.default_matmul_precision("highest"):
+        return _b_chain_bwd_impl(spec0, spec1, res, cots)
+
+
+def _b_chain_bwd_impl(spec0, spec1, res, cots):
+    s0, g0, s1, g1, noise, xb, mask, ib = res
+    d_ib, d_logdet, d_tr = cots
+    xf = xb.astype(jnp.float32)
+    mf = mask.astype(jnp.float32)
+    mm3 = mf[:, :, None] * mf[:, None, :]  # [S, T, T]
+
+    zero = jnp.zeros((), jnp.float32)
+    if d_ib is None:
+        d_ib = zero
+    d_ib = jnp.broadcast_to(d_ib, ib.shape).astype(jnp.float32)
+    l_dim = ib.shape[0]
+    if d_logdet is None:
+        d_logdet = jnp.zeros((l_dim,), jnp.float32)
+    if d_tr is None:
+        d_tr = jnp.zeros((l_dim,), jnp.float32)
+    d_logdet = d_logdet.astype(jnp.float32)[:, None, None, None]
+    d_tr = d_tr.astype(jnp.float32)[:, None, None, None]
+
+    k0m = masked_block_stack(spec0, s0.astype(jnp.float32),
+                             g0.astype(jnp.float32), xf, mm3)
+
+    # dB: through B⁻¹ (−B⁻¹ Ḡ B⁻¹), log|B| (B⁻¹), tr(B⁻¹K0) (−B⁻¹K0B⁻¹)
+    db = -ib @ d_ib @ ib + d_logdet * ib - d_tr * (ib @ k0m @ ib)
+    cot_k0 = d_tr * ib  # d tr(B⁻¹K0)/dK0 = B⁻¹
+    cot_k1 = db  # B = K1_masked + diag(...)
+
+    d_s0, d_g0 = block_param_grads(spec0, s0, g0, cot_k0, xf, mm3)
+    d_s1, d_g1 = block_param_grads(spec1, s1, g1, cot_k1, xf, mm3)
+    # diag term: dσ²[l] = Σ_{s,t} dB[l,s,t,t]·mask[s,t]
+    d_noise = jnp.einsum(
+        "lstt,st->l", db, mf
+    ).astype(noise.dtype)
+    return (
+        d_s0, d_g0, d_s1, d_g1, d_noise,
+        jnp.zeros_like(xb), jnp.zeros_like(mask),
+    )
+
+
+fused_b_chain.defvjp(_b_chain_fwd, _b_chain_bwd)
+
+
+def b_chain_operators(spec0, spec1, kp0, kp1, noise, xb, mask):
+    """Drop-in producing (iB, logdet_B [L], tr(B⁻¹K0) [L]) in xb's dtype from
+    RAW kernel params — the fused replacement for block builds + B assembly +
+    cholesky_and_inverse + logdet + the Nyström block trace."""
+    def cg(kp):
+        scale = kx.constrain(kp.raw_scale)
+        ls = kx.constrain(kp.raw_lengthscale)
+        return scale, 0.5 / (ls * ls)
+
+    s0, g0 = cg(kp0)
+    s1, g1 = cg(kp1)
+    ib, logdet_l, tr_l = fused_b_chain(
+        spec0, spec1, s0, g0, s1, g1, noise, xb, mask
+    )
+    dtype = xb.dtype
+    return ib.astype(dtype), logdet_l.astype(dtype), tr_l.astype(dtype)
+
+
+def usable(spec0, spec1, kp0, xb, dtype) -> bool:
+    """Shape/dtype gate (VMEM + layout constraints of the kernel)."""
+    return (
+        dtype == jnp.float32
+        and kp0.raw_scale.ndim == 2
+        and len(spec0.components) > 0
+        and len(spec1.components) > 0
+        and 2 <= xb.shape[1] <= MAX_T
+    )

@@ -309,6 +309,52 @@ def _block_pair_bwd(spec0, spec1, res, cots):
         return _block_pair_bwd_impl(spec0, spec1, res, cots)
 
 
+def block_param_grads(spec, scale, g, cot, xf, mm3):
+    """(d scale, d g) of ``Σ cot ⊙ K_blocks(scale, g)`` for one spec.
+
+    ``cot [L, S, T, T]`` f32, ``xf [S, T, Q]`` f32, ``mm3 [S, T, T]`` the
+    mask outer product. Shared by the block-pair and B-chain custom VJPs."""
+    ds, dg = [], []
+    for c, comp in enumerate(spec.components):
+        disc, sqd = jax.vmap(lambda x: kx._component_base(comp, x, x))(xf)
+        base = disc if disc is not None else jnp.ones_like(mm3)
+        base = base * mm3
+        if sqd is not None:
+            e = jnp.exp(-sqd[None] * g[:, c, None, None, None])
+            ke = base[None] * e
+            ds.append(jnp.einsum("lstu,lstu->l", cot, ke))
+            dg.append(
+                -jnp.einsum("lstu,lstu->l", cot, ke * sqd[None]) * scale[:, c]
+            )
+        else:
+            ds.append(jnp.einsum("lstu,stu->l", cot, base))
+            dg.append(jnp.zeros(scale.shape[0], scale.dtype))
+    return (
+        jnp.stack(ds, axis=1).astype(scale.dtype),
+        jnp.stack(dg, axis=1).astype(g.dtype),
+    )
+
+
+def masked_block_stack(spec, scale, g, xf, mm3):
+    """``K_blocks [L, S, T, T]`` f32 from CONSTRAINED (scale, g) — the plain
+    jnp evaluation the custom VJPs rebuild intermediates with."""
+    s_dim, t_dim, _ = xf.shape
+    l = scale.shape[0]
+    acc = jnp.zeros((l, s_dim, t_dim, t_dim), jnp.float32)
+    for c, comp in enumerate(spec.components):
+        disc, sqd = jax.vmap(lambda x: kx._component_base(comp, x, x))(xf)
+        base = disc if disc is not None else jnp.ones_like(mm3)
+        base = base * mm3
+        if sqd is not None:
+            term = scale[:, c, None, None, None] * base[None] * jnp.exp(
+                -sqd[None] * g[:, c, None, None, None]
+            )
+        else:
+            term = scale[:, c, None, None, None] * base[None]
+        acc = acc + term
+    return acc
+
+
 def _block_pair_bwd_impl(spec0, spec1, res, cots):
     s0, g0, s1, g1, xb, mask = res
     cot0, cot1 = cots
@@ -316,29 +362,8 @@ def _block_pair_bwd_impl(spec0, spec1, res, cots):
     mf = mask.astype(jnp.float32)
     mm3 = mf[:, :, None] * mf[:, None, :]  # [S, T, T]
 
-    def grads(spec, scale, g, cot):
-        ds, dg = [], []
-        for c, comp in enumerate(spec.components):
-            disc, sqd = jax.vmap(lambda x: kx._component_base(comp, x, x))(xf)
-            base = disc if disc is not None else jnp.ones_like(mm3)
-            base = base * mm3
-            if sqd is not None:
-                e = jnp.exp(-sqd[None] * g[:, c, None, None, None])
-                ke = base[None] * e
-                ds.append(jnp.einsum("lstu,lstu->l", cot, ke))
-                dg.append(
-                    -jnp.einsum("lstu,lstu->l", cot, ke * sqd[None]) * scale[:, c]
-                )
-            else:
-                ds.append(jnp.einsum("lstu,stu->l", cot, base))
-                dg.append(jnp.zeros(scale.shape[0], scale.dtype))
-        return (
-            jnp.stack(ds, axis=1).astype(scale.dtype),
-            jnp.stack(dg, axis=1).astype(g.dtype),
-        )
-
-    d_s0, d_g0 = grads(spec0, s0, g0, cot0.astype(jnp.float32))
-    d_s1, d_g1 = grads(spec1, s1, g1, cot1.astype(jnp.float32))
+    d_s0, d_g0 = block_param_grads(spec0, s0, g0, cot0.astype(jnp.float32), xf, mm3)
+    d_s1, d_g1 = block_param_grads(spec1, s1, g1, cot1.astype(jnp.float32), xf, mm3)
     return d_s0, d_g0, d_s1, d_g1, jnp.zeros_like(xb), jnp.zeros_like(mask)
 
 

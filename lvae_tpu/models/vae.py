@@ -20,11 +20,13 @@ default, bf16 optional for throughput).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 MIN_LOG_VY = -8.0
 
@@ -56,6 +58,122 @@ def _max_pool_2x2(h: jax.Array) -> jax.Array:
         return nn.max_pool(h, (2, 2), strides=(2, 2))
     n, hh, ww, c = h.shape
     return h.reshape(n, hh // 2, 2, ww // 2, 2, c).max(axis=(2, 4))
+
+
+# Space-to-depth conv formulation. The reference topology's channel counts
+# (1→16→32 encoder, 32→16→1 decoder) leave the 128-wide MXU lanes almost
+# empty: conv1 contracts K=3·3·1=9 of 128, deconv2 emits N=1 of 128. Working
+# on 2×2-block space-to-depth layouts with exactly-rearranged weights turns
+# every conv into a denser one (conv2+pool2 becomes K=576, N=128 — full
+# lanes) and makes each 2×2 max-pool a free channel-axis max (no
+# reduce_window forward, no select-and-scatter backward). Same math modulo
+# f32 summation order; tie-breaking of max subgradients differs (even split
+# vs single winner), as with use_reshape_max_pool. None = auto (TPU only,
+# where the MXU geometry is the point); True/False force for A/B and tests.
+# Env override for A/B without source edits (which would churn the AOT-cache
+# source digest): LVAE_S2D=0/1/auto.
+use_s2d_convs: Optional[bool] = None
+_s2d_env = os.environ.get("LVAE_S2D", "").strip().lower()
+if _s2d_env in ("1", "true", "on", "yes"):
+    use_s2d_convs = True
+elif _s2d_env in ("0", "false", "off", "no"):
+    use_s2d_convs = False
+elif _s2d_env not in ("", "auto"):
+    raise ValueError(
+        f"LVAE_S2D={os.environ['LVAE_S2D']!r}: expected 1/0/true/false/on/off/yes/no/auto"
+    )
+
+
+# what 'auto' (None) resolves to on the TPU backend. False until the
+# formulation is driven + A/B-measured on the real chip; flip to True with
+# the measurement recorded in benchmarks/README.md.
+S2D_AUTO_DEFAULT: bool = False
+
+
+def _s2d_active() -> bool:
+    if use_s2d_convs is None:
+        return S2D_AUTO_DEFAULT and jax.default_backend() == "tpu"
+    return bool(use_s2d_convs)
+
+
+def _space_to_depth(x: jax.Array) -> jax.Array:
+    """[N, H, W, C] → [N, H/2, W/2, 4C]; channel order ((a, b), c), a/b = the
+    pixel's position inside its 2×2 block."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _depth_to_space(x: jax.Array, c_out: int) -> jax.Array:
+    """Inverse of :func:`_space_to_depth`: [N, H, W, 4C] → [N, 2H, 2W, C]."""
+    n, h, w, _ = x.shape
+    x = x.reshape(n, h, w, 2, 2, c_out).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, 2 * h, 2 * w, c_out)
+
+
+def _conv3_taps():
+    """Static tap map for the stride-1 SAME 3×3 conv in block coordinates.
+
+    Output pixel ``2I+p`` reads input row ``2(I+Bi)+a`` through original tap
+    ``di = 2·Bi + a − p + 1`` (valid iff 0 ≤ di ≤ 2), for block offset
+    ``Bi ∈ {−1,0,1}`` and in-block positions ``a, p ∈ {0,1}``.
+    """
+    bi = np.arange(3)[:, None, None] - 1
+    a = np.arange(2)[None, :, None]
+    p = np.arange(2)[None, None, :]
+    d = 2 * bi + a - p + 1  # [3, 2, 2] indexed [bi, a, p]
+    ok = (d >= 0) & (d <= 2)
+    return np.clip(d, 0, 2), ok
+
+
+def _deconv4_taps():
+    """Static tap map for flax ``ConvTranspose((4,4), strides=2, SAME)``.
+
+    Its output obeys ``y[r] = Σ_i x[i] · w[2 − (r − 2i)]`` (verified against
+    flax 0.12 by delta probing); with ``r = 2I + p`` and ``i = I + Bi`` the
+    original tap is ``k = 2 − (p − 2·Bi)``, valid iff 0 ≤ k ≤ 3.
+    """
+    bi = np.arange(3)[:, None] - 1
+    p = np.arange(2)[None, :]
+    k = 2 - (p - 2 * bi)  # [3, 2] indexed [Bi, p]
+    ok = (k >= 0) & (k <= 3)
+    return np.clip(k, 0, 3), ok
+
+
+_CONV3_TAPS = _conv3_taps()
+_DECONV4_TAPS = _deconv4_taps()
+
+
+def _s2d_conv3_kernel(w: jax.Array) -> jax.Array:
+    """Rearrange ``w [3,3,cin,cout]`` to ``W [3,3,4·cin,4·cout]`` such that
+    ``conv(s2d(x), W, SAME) == s2d(conv(x, w, SAME))`` exactly."""
+    cin, cout = w.shape[2], w.shape[3]
+    dc, ok = _CONV3_TAPS
+    wf = w[dc[:, :, :, None, None, None], dc[None, None, None]]
+    mask = ok[:, :, :, None, None, None] & ok[None, None, None]
+    wf = wf * jnp.asarray(mask, dtype=w.dtype)[..., None, None]
+    # [bi, a, p, bj, b, q, ci, co] → [bi, bj, (a, b, ci), (p, q, co)]
+    wf = wf.transpose(0, 3, 1, 4, 6, 2, 5, 7)
+    return wf.reshape(3, 3, 4 * cin, 4 * cout)
+
+
+def _s2d_deconv4_kernel(w: jax.Array) -> jax.Array:
+    """Rearrange ``w [4,4,cin,cout]`` to ``W [3,3,cin,4·cout]`` such that
+    ``conv(x, W, SAME) == s2d(conv_transpose(x, w, strides=2, SAME))``."""
+    cin, cout = w.shape[2], w.shape[3]
+    kc, ok = _DECONV4_TAPS
+    wf = w[kc[:, :, None, None], kc[None, None]]
+    mask = ok[:, :, None, None] & ok[None, None]
+    wf = wf * jnp.asarray(mask, dtype=w.dtype)[..., None, None]
+    # [Bi, p, Bj, q, ci, co] → [Bi, Bj, ci, (p, q, co)]
+    wf = wf.transpose(0, 2, 4, 1, 3, 5)
+    return wf.reshape(3, 3, cin, 4 * cout)
+
+
+def _conv_nhwc(x: jax.Array, w: jax.Array) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
 
 
 class ConvVAE(nn.Module):
@@ -106,13 +224,45 @@ class ConvVAE(nn.Module):
     def is_conv(self) -> bool:
         return True
 
+    def _fused(self) -> bool:
+        """Use the s2d formulation for this call?
+
+        ``init`` always traces the standard path so the params are created by
+        nn.Conv/nn.ConvTranspose themselves — identical tree, names and
+        path-derived init values; the fused path only *reads* them, so
+        checkpoints are interchangeable between the two formulations.
+        """
+        return _s2d_active() and not self.is_initializing()
+
+    def _conv_pool_s2d(self, mod: nn.Module, x: jax.Array, cout: int) -> jax.Array:
+        """``max_pool_2x2(relu(mod(x)))`` on the space-to-depth layout."""
+        p = mod.variables["params"]
+        w = _s2d_conv3_kernel(p["kernel"].astype(self.dtype))
+        y = _conv_nhwc(_space_to_depth(x), w) + jnp.tile(p["bias"].astype(self.dtype), 4)
+        y = nn.relu(y)
+        n, hh, ww, _ = y.shape
+        return y.reshape(n, hh, ww, 4, cout).max(axis=3)
+
+    def _deconv_s2d(self, mod: nn.Module, x: jax.Array, cout: int) -> jax.Array:
+        """``mod(x)`` (ConvTranspose 4×4/stride-2/SAME) as a block conv."""
+        p = mod.variables["params"]
+        w = _s2d_deconv4_kernel(p["kernel"].astype(self.dtype))
+        y = _conv_nhwc(x, w) + jnp.tile(p["bias"].astype(self.dtype), 4)
+        return _depth_to_space(y, cout)
+
     def encode(self, x: jax.Array, deterministic: bool = True) -> Tuple[jax.Array, jax.Array]:
         """images [N, 36, 36, 1] → (mu, log_var) each [N, L] (VAE.py:90-107)."""
         x = x.astype(self.dtype)
-        h = nn.relu(self.conv1(x))
-        h = self.drop2d(_max_pool_2x2(h), deterministic=deterministic)
-        h = nn.relu(self.conv2(h))
-        h = self.drop2d(_max_pool_2x2(h), deterministic=deterministic)
+        if self._fused():
+            h = self._conv_pool_s2d(self.conv1, x, 16)
+            h = self.drop2d(h, deterministic=deterministic)
+            h = self._conv_pool_s2d(self.conv2, h, 32)
+            h = self.drop2d(h, deterministic=deterministic)
+        else:
+            h = nn.relu(self.conv1(x))
+            h = self.drop2d(_max_pool_2x2(h), deterministic=deterministic)
+            h = nn.relu(self.conv2(h))
+            h = self.drop2d(_max_pool_2x2(h), deterministic=deterministic)
         h = h.reshape(h.shape[0], -1)  # [N, (hw/4)^2 * 32]
         h = self.drop(nn.relu(self.fc1(h)), deterministic=deterministic)
         h = self.drop(nn.relu(self.fc21(h)), deterministic=deterministic)
@@ -126,6 +276,10 @@ class ConvVAE(nn.Module):
         h = nn.relu(self.fc4(h))
         h = h.reshape(h.shape[0], self._feat_hw, self._feat_hw, 32)
         h = self.drop2d(h, deterministic=deterministic)
+        if self._fused():
+            h = nn.relu(self._deconv_s2d(self.deconv1, h, 16))
+            h = self.drop2d(h, deterministic=deterministic)
+            return nn.sigmoid(self._deconv_s2d(self.deconv2, h, 1))
         h = self.drop2d(nn.relu(self.deconv1(h)), deterministic=deterministic)
         return nn.sigmoid(self.deconv2(h))
 

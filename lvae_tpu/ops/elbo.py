@@ -64,15 +64,19 @@ class GPBlockOperators(NamedTuple):
     K0zz: jax.Array  # [L, M, M]     jittered inducing covariance
     LK0zz: jax.Array  # [L, M, M]
     iK0zz: jax.Array  # [L, M, M]
-    K0_st: jax.Array  # [L, P, T, T]  masked block-diagonal part of K0
-    B: jax.Array  # [L, P, T, T]  K1 + noise (masked; unit diag on padding)
-    LB: jax.Array  # [L, P, T, T]
+    K0_st: Optional[jax.Array]  # [L, P, T, T]  masked block-diag K0 (None when fused)
+    B: Optional[jax.Array]  # [L, P, T, T]  K1 + noise (None when fused)
+    LB: Optional[jax.Array]  # [L, P, T, T]  (None when fused)
     iB: jax.Array  # [L, P, T, T]
     iB_K0xz: jax.Array  # [L, P, T, M]
     K0zx_iB_K0xz: jax.Array  # [L, M, M]
     logdet_B: jax.Array  # [L]
     logdet_K0zz: jax.Array  # [L]
     mask: jax.Array  # [P, T] float validity
+    # precomputed tr(B⁻¹ K0_blockdiag) per latent dim — set by the fused
+    # Pallas B-chain (kernels_pallas/b_chain.py), where the K0/B/chol stacks
+    # never leave the kernel; None on the XLA path
+    tr_iB_K0: Optional[jax.Array] = None
 
 
 @_full_precision
@@ -113,27 +117,50 @@ def gp_block_operators(
     k0zz = kx.add_adaptive_jitter(kx.kernel_matrix(spec0, kp0, z, z), eps)
     lk0zz, ik0zz = la.cholesky_and_inverse(k0zz)
 
-    # Block-pair kernel stacks: the natural [L, S, T, T] layout puts T ≈ 20
-    # on the 128-wide lanes (~16% VPU occupancy). On TPU/f32 the lane-packed
-    # Pallas builder computes both stacks at [L, S, T²] in one pass (VMEM
-    # budget permitting); XLA everywhere else.
-    use_pallas = (
-        kx.use_pallas_block_pair
-        and dtype == jnp.float32
-        and kp0.raw_scale.ndim == 2
-        and (kp0.raw_scale.shape[0] * p * t * t * 4) <= 2 * 1024 * 1024
-        and jax.default_backend() == "tpu"
-    )
-    if use_pallas:
-        from lvae_tpu.kernels_pallas.kernel_matrix import block_kernel_pair_pallas
+    # Fused B-chain: one Pallas kernel computes K0/K1 blocks → B → chol →
+    # B⁻¹ → log|B| → tr(B⁻¹K0) and emits only the last three — the stacks
+    # never round-trip HBM (kernels_pallas/b_chain.py; gated off pending the
+    # on-chip A/B).
+    want_bchain = kx.use_pallas_b_chain
+    if want_bchain is None:
+        want_bchain = (
+            kx.B_CHAIN_AUTO_DEFAULT and jax.default_backend() == "tpu"
+        )
+    if want_bchain:
+        from lvae_tpu.kernels_pallas import b_chain as bc
 
-        k0_st, k1_st = block_kernel_pair_pallas(spec0, spec1, kp0, kp1, xb, mask)
+        want_bchain = bc.usable(spec0, spec1, kp0, xb, dtype)
+    if want_bchain:
+        from lvae_tpu.kernels_pallas.b_chain import b_chain_operators
+
+        ib, logdet_b, tr_ib_k0 = b_chain_operators(
+            spec0, spec1, kp0, kp1, noise, xb, mask
+        )
+        k0_st = b = lb = None
     else:
-        k0_st = kx.block_kernel_matrix(spec0, kp0, xb, mask)
-        k1_st = kx.block_kernel_matrix(spec1, kp1, xb, mask)
+        # Block-pair kernel stacks: the natural [L, S, T, T] layout puts
+        # T ≈ 20 on the 128-wide lanes (~16% VPU occupancy). On TPU/f32 the
+        # lane-packed Pallas builder computes both stacks at [L, S, T²] in
+        # one pass (VMEM budget permitting); XLA everywhere else.
+        use_pallas = (
+            kx.use_pallas_block_pair
+            and dtype == jnp.float32
+            and kp0.raw_scale.ndim == 2
+            and (kp0.raw_scale.shape[0] * p * t * t * 4) <= 2 * 1024 * 1024
+            and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            from lvae_tpu.kernels_pallas.kernel_matrix import block_kernel_pair_pallas
 
-    b = kx.block_b_operator(spec1, kp1, xb, mask, noise, k1_st=k1_st)
-    lb, ib = la.cholesky_and_inverse(b)
+            k0_st, k1_st = block_kernel_pair_pallas(spec0, spec1, kp0, kp1, xb, mask)
+        else:
+            k0_st = kx.block_kernel_matrix(spec0, kp0, xb, mask)
+            k1_st = kx.block_kernel_matrix(spec1, kp1, xb, mask)
+
+        b = kx.block_b_operator(spec1, kp1, xb, mask, noise, k1_st=k1_st)
+        lb, ib = la.cholesky_and_inverse(b)
+        logdet_b = la.logdet_from_chol(lb, batch_dims=1)
+        tr_ib_k0 = None
 
     ib_k0xz = ib @ k0xz
     k0zx_ib_k0xz = jnp.einsum("lptm,lptn->lmn", k0xz, ib_k0xz)
@@ -149,9 +176,10 @@ def gp_block_operators(
         iB=ib,
         iB_K0xz=ib_k0xz,
         K0zx_iB_K0xz=k0zx_ib_k0xz,
-        logdet_B=la.logdet_from_chol(lb, batch_dims=1),
+        logdet_B=logdet_b,
         logdet_K0zz=la.logdet_from_chol(lk0zz, batch_dims=1),
         mask=mask,
+        tr_iB_K0=tr_ib_k0,
     )
 
 
@@ -203,9 +231,11 @@ def _sigma_quadform(ops: GPBlockOperators, lw: jax.Array, y: jax.Array):
 
 def _nystrom_trace(ops: GPBlockOperators):
     """``tr(B⁻¹(K0_blockdiag − Q0))`` — the inducing-point slack term."""
-    return jnp.einsum("lptu,lptu->l", ops.iB, ops.K0_st) - jnp.einsum(
-        "lmn,lmn->l", ops.K0zx_iB_K0xz, ops.iK0zz
-    )
+    if ops.tr_iB_K0 is not None:
+        t1 = ops.tr_iB_K0  # folded inside the fused B-chain kernel
+    else:
+        t1 = jnp.einsum("lptu,lptu->l", ops.iB, ops.K0_st)
+    return t1 - jnp.einsum("lmn,lmn->l", ops.K0zx_iB_K0xz, ops.iK0zz)
 
 
 @_full_precision
@@ -323,7 +353,11 @@ def minibatch_kld(
     diag_ib = jnp.diagonal(ops.iB, axis1=-2, axis2=-1)
     b_term = jnp.sum(diag_ib * v)
     c_term = jnp.sum(ops.logdet_B)
-    d_term = jnp.einsum("lptu,lptu->", ops.iB, ops.K0_st) - jnp.einsum(
+    if ops.tr_iB_K0 is not None:
+        tr_ib_k0 = jnp.sum(ops.tr_iB_K0)  # folded in the fused B-chain
+    else:
+        tr_ib_k0 = jnp.einsum("lptu,lptu->", ops.iB, ops.K0_st)
+    d_term = tr_ib_k0 - jnp.einsum(
         "lmn,lmn->", ops.K0zx_iB_K0xz, ops.iK0zz
     )
     e_mid = ops.iK0zz @ H @ ops.iK0zz

@@ -31,6 +31,7 @@ positive and numerically safe in float32.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -50,6 +51,22 @@ use_pallas_kernel_matrix: bool = True
 # build is floored by per-op overhead, not VPU lane occupancy
 # (benchmarks/README.md "lane-packed builder" entry).
 use_pallas_block_pair: bool = False
+# Fused B-operator chain (kernels_pallas/b_chain.py): block builds + B
+# assembly + Cholesky + inverse + log|B| + tr(B⁻¹K0) in ONE kernel.
+# Tri-state: None = auto (currently off — pending on-chip A/B), True/False
+# force. Env override LVAE_BCHAIN=1/0/auto for A/B without source edits.
+use_pallas_b_chain = None
+_bchain_env = os.environ.get("LVAE_BCHAIN", "").strip().lower()
+if _bchain_env in ("1", "true", "on", "yes"):
+    use_pallas_b_chain = True
+elif _bchain_env in ("0", "false", "off", "no"):
+    use_pallas_b_chain = False
+elif _bchain_env not in ("", "auto"):
+    raise ValueError(
+        f"LVAE_BCHAIN={os.environ['LVAE_BCHAIN']!r}: expected 1/0/auto"
+    )
+# what 'auto' resolves to (flips after a measured win on the target chip)
+B_CHAIN_AUTO_DEFAULT: bool = False
 
 
 class KernelComponent(NamedTuple):

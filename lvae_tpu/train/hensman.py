@@ -468,9 +468,11 @@ class HensmanTrainer:
             aot_cache.content_digest(self.tables),
             self._opt_key,
             mv.use_reshape_max_pool,
+            (mv.use_s2d_convs, mv._s2d_active()),
             la.use_pallas_cholesky,
             kx.use_pallas_kernel_matrix,
             kx.use_pallas_block_pair,
+            (kx.use_pallas_b_chain, kx.B_CHAIN_AUTO_DEFAULT),
             n,
         )
 

@@ -178,6 +178,12 @@ def load(key: str) -> Optional[Callable]:
     try:
         with open(path, "rb") as f:
             payload, in_tree, out_tree, dev_ids = pickle.load(f)
+        # refresh recency so the size-budget GC (save → _prune) evicts
+        # stranded keys (stale source digests) before live ones
+        try:
+            os.utime(path)
+        except OSError:
+            pass
     except FileNotFoundError:
         _debug(f"miss {key[:32]}")
         return None
@@ -245,6 +251,43 @@ def save(key: str, compiled: Any) -> bool:
             except OSError:
                 pass
             return False
+        _prune(d, keep=key)
         return True
     except Exception:  # noqa: BLE001
         return False
+
+
+def _prune(d: str, keep: str) -> None:
+    """Size-budget GC: artifacts are ~50 MB each and every source edit
+    strands the previous digest's keys forever — evict oldest-touched
+    artifacts beyond ``LVAE_AOT_CACHE_GB`` (default 5), never the one just
+    saved. ``load`` hits re-touch their artifact, so live keys survive."""
+    try:
+        budget = float(os.environ.get("LVAE_AOT_CACHE_GB", "5")) * 1e9
+        entries = []
+        for name in os.listdir(d):
+            if not name.endswith(".pkl"):
+                continue
+            p = os.path.join(d, name)
+            try:
+                stt = os.stat(p)
+            except OSError:
+                continue
+            entries.append((stt.st_mtime, stt.st_size, p))
+        total = sum(e[1] for e in entries)
+        if total <= budget:
+            return
+        keep_path = os.path.join(d, keep + ".pkl")
+        for _, size, p in sorted(entries):
+            if total <= budget:
+                break
+            if p == keep_path:
+                continue
+            try:
+                os.unlink(p)
+                total -= size
+                _debug(f"pruned {os.path.basename(p)[:40]} ({size >> 20} MB)")
+            except OSError:
+                pass
+    except Exception:  # noqa: BLE001 — GC must never break a save
+        pass

@@ -18,17 +18,31 @@ from lvae_tpu.train.state import tree_finite
 
 
 def gp_health(ops: GPBlockOperators) -> Dict[str, jax.Array]:
-    """Conditioning diagnostics of one batch's GP operators (jit-safe)."""
-    diag_lb = jnp.diagonal(ops.LB, axis1=-2, axis2=-1)
+    """Conditioning diagnostics of one batch's GP operators (jit-safe).
+
+    With the fused Pallas B-chain (kernels_pallas/b_chain.py) the B/chol(B)
+    stacks never leave the kernel, so the equivalent evidence is B⁻¹'s
+    finiteness and log|B| (a failed pivot NaNs both).
+    """
     diag_lk = jnp.diagonal(ops.LK0zz, axis1=-2, axis2=-1)
-    return {
-        "finite_B": jnp.isfinite(ops.B).all(),
-        "finite_LB": jnp.isfinite(ops.LB).all(),
+    out = {
         "finite_iK0zz": jnp.isfinite(ops.iK0zz).all(),
-        "min_LB_pivot": jnp.min(diag_lb),
         "min_LK0zz_pivot": jnp.min(diag_lk),
         "max_iK0zz": jnp.max(jnp.abs(ops.iK0zz)),
     }
+    if ops.B is not None and ops.LB is not None:
+        diag_lb = jnp.diagonal(ops.LB, axis1=-2, axis2=-1)
+        out.update({
+            "finite_B": jnp.isfinite(ops.B).all(),
+            "finite_LB": jnp.isfinite(ops.LB).all(),
+            "min_LB_pivot": jnp.min(diag_lb),
+        })
+    else:
+        out.update({
+            "finite_iB": jnp.isfinite(ops.iB).all(),
+            "finite_logdet_B": jnp.isfinite(ops.logdet_B).all(),
+        })
+    return out
 
 
 def assert_state_finite(state, where: str = "") -> None:

@@ -144,3 +144,31 @@ def test_content_digest_sensitivity():
     assert aot_cache.content_digest(a) != aot_cache.content_digest(
         a.astype(jnp.float32)
     )
+
+
+def test_aot_prune_evicts_oldest_beyond_budget(tmp_path, monkeypatch):
+    """save() GC: oldest-touched artifacts beyond LVAE_AOT_CACHE_GB go,
+    the just-saved key stays even if the budget is exceeded."""
+    import os
+    import time
+
+    from lvae_tpu.utils import aot_cache
+
+    monkeypatch.setenv("LVAE_AOT_CACHE", str(tmp_path))
+    # 3 x 1 MB artifacts against a 2.5 MB budget
+    monkeypatch.setenv("LVAE_AOT_CACHE_GB", str(2.5e6 / 1e9))
+    blob = b"x" * 1_000_000
+    for i, name in enumerate(["old", "mid", "new"]):
+        p = tmp_path / f"{name}.pkl"
+        p.write_bytes(blob)
+        os.utime(p, (time.time() - 100 + i, time.time() - 100 + i))
+    aot_cache._prune(str(tmp_path), keep="new")
+    left = sorted(f.name for f in tmp_path.glob("*.pkl"))
+    assert "new.pkl" in left and "old.pkl" not in left
+    # total now within budget
+    assert sum(f.stat().st_size for f in tmp_path.glob("*.pkl")) <= 2.5e6
+
+    # the keep key survives even when it alone exceeds the budget
+    monkeypatch.setenv("LVAE_AOT_CACHE_GB", str(0.5e6 / 1e9))
+    aot_cache._prune(str(tmp_path), keep="new")
+    assert [f.name for f in tmp_path.glob("*.pkl")] == ["new.pkl"]

@@ -1,0 +1,232 @@
+"""Fused Pallas B-chain (kernels_pallas/b_chain.py) vs the XLA path.
+
+The kernel must be the SAME function as block builds + B assembly +
+cholesky_and_inverse + logdet + tr(B⁻¹K0): forward outputs, parameter
+gradients, and every downstream bound. Runs the Pallas interpreter on CPU
+(the compiled kernel path is exercised on TPU via the LVAE_BCHAIN A/B).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lvae_tpu.ops.kernels as kx
+from lvae_tpu.ops import elbo as eb
+from lvae_tpu.ops import linalg as la
+
+
+@pytest.fixture
+def bchain_on():
+    old = kx.use_pallas_b_chain
+    kx.use_pallas_b_chain = True
+    yield
+    kx.use_pallas_b_chain = old
+
+
+def make_spec():
+    return kx.split_kernel_spec(
+        cat_kernel=[2],
+        sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+        id_covariate=2,
+    )
+
+
+def make_inputs(s=5, t=4, latent=3, q=4, seed=0, ragged=True):
+    rng = np.random.RandomState(seed)
+    xb = np.zeros((s, t, q), np.float32)
+    xb[:, :, 0] = np.arange(t)[None] + rng.rand(s, 1)  # time
+    xb[:, :, 1] = rng.randn(s, t)
+    xb[:, :, 2] = np.arange(s)[:, None]  # id
+    xb[:, :, 3] = rng.randint(0, 2, (s, 1))
+    mask = np.ones((s, t), np.float32)
+    if ragged:
+        mask[1, 3:] = 0.0  # short subject
+        mask[3, :] = 0.0  # ghost row
+        xb = xb * mask[:, :, None]
+    spec0, spec1 = make_spec()
+
+    def perturbed(spec):
+        kp = kx.init_kernel_params(spec, latent)
+        return kx.KernelParams(
+            raw_scale=kp.raw_scale
+            + jnp.asarray(rng.randn(*kp.raw_scale.shape).astype(np.float32)) * 0.3,
+            raw_lengthscale=kp.raw_lengthscale
+            + jnp.asarray(
+                rng.randn(*kp.raw_lengthscale.shape).astype(np.float32)
+            ) * 0.3,
+        )
+
+    kp0 = perturbed(spec0)
+    kp1 = perturbed(spec1)
+    noise = jnp.asarray(rng.rand(latent).astype(np.float32) + 0.5)
+    return spec0, spec1, kp0, kp1, noise, jnp.asarray(xb), jnp.asarray(mask)
+
+
+def xla_reference(spec0, spec1, kp0, kp1, noise, xb, mask):
+    k0_st = kx.block_kernel_matrix(spec0, kp0, xb, mask)
+    b = kx.block_b_operator(spec1, kp1, xb, mask, noise)
+    lb = la.cholesky(b)
+    ib = la.chol_inverse(lb)
+    logdet = la.logdet_from_chol(lb, batch_dims=1)
+    tr = jnp.einsum("lptu,lptu->l", ib, k0_st)
+    return ib, logdet, tr
+
+
+def test_forward_matches_xla(bchain_on):
+    from lvae_tpu.kernels_pallas.b_chain import b_chain_operators
+
+    args = make_inputs()
+    ib0, ld0, tr0 = xla_reference(*args)
+    ib1, ld1, tr1 = b_chain_operators(*args)
+    np.testing.assert_allclose(np.asarray(ib1), np.asarray(ib0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ld1), np.asarray(ld0), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(tr1), np.asarray(tr0), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_forward_lane_padding(bchain_on):
+    """L·S not a multiple of 128 (always, at these sizes) and a full-ghost
+    row both behave: padding lanes factor I and contribute nothing."""
+    from lvae_tpu.kernels_pallas.b_chain import b_chain_operators
+
+    args = make_inputs(s=7, t=5, latent=4, seed=3)
+    ib0, ld0, tr0 = xla_reference(*args)
+    ib1, ld1, tr1 = b_chain_operators(*args)
+    np.testing.assert_allclose(np.asarray(ib1), np.asarray(ib0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ld1), np.asarray(ld0), atol=2e-5)
+
+
+def test_param_gradients_match(bchain_on):
+    """d/d(raw kernel params, noise) of a mixed scalar of all three outputs
+    equals the XLA path's autodiff."""
+    from lvae_tpu.kernels_pallas.b_chain import b_chain_operators
+
+    spec0, spec1, kp0, kp1, noise, xb, mask = make_inputs()
+
+    def loss(fn, kp0, kp1, noise):
+        ib, ld, tr = fn(spec0, spec1, kp0, kp1, noise, xb, mask)
+        w = jnp.arange(ib.size, dtype=ib.dtype).reshape(ib.shape) / ib.size
+        return jnp.sum(ib * w) + jnp.sum(ld * 0.7) + jnp.sum(tr * 1.3)
+
+    g0 = jax.grad(lambda *a: loss(xla_reference, *a), argnums=(0, 1, 2))(
+        kp0, kp1, noise
+    )
+    g1 = jax.grad(lambda *a: loss(b_chain_operators, *a), argnums=(0, 1, 2))(
+        kp0, kp1, noise
+    )
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_gp_block_operators_integration(bchain_on):
+    """gp_block_operators with the fused gate == the XLA path on every bound
+    (gp_elbo, dubo, minibatch_kld + natural gradients)."""
+    spec0, spec1, kp0, kp1, noise, xb, mask = make_inputs(s=6, t=4, latent=3)
+    s, t, _ = xb.shape
+    latent = 3
+    rng = np.random.RandomState(7)
+    # spread the inducing points' RBF covariate so K0zz is well-conditioned:
+    # a near-rank-1 gram makes iK0zz amplify f32 reassociation noise into
+    # the natural gradients, which would test conditioning, not the wiring
+    z = rng.randn(6, xb.shape[2]).astype(np.float32)
+    z[:, 0] = np.linspace(0.0, 12.0, 6)
+    z = jnp.asarray(z)
+    yb = jnp.asarray(rng.randn(s, t, latent).astype(np.float32))
+    mu_b = jnp.asarray(rng.randn(s, t, latent).astype(np.float32))
+    lv_b = jnp.asarray((rng.randn(s, t, latent) * 0.1).astype(np.float32))
+    m = jnp.asarray(rng.randn(latent, 6, 1).astype(np.float32))
+    h0 = rng.randn(latent, 6, 6).astype(np.float32) / 3
+    H = jnp.asarray(h0 @ np.swapaxes(h0, -1, -2) + 0.5 * np.eye(6, dtype=np.float32))
+
+    def all_bounds():
+        ops = eb.gp_block_operators(
+            spec0, spec1, kp0, kp1, noise, xb, z, mask=mask, eps=1e-5
+        )
+        el = eb.gp_elbo(ops, yb)
+        du = eb.dubo(ops, mu_b, lv_b)
+        kld, ng = eb.minibatch_kld(
+            ops, m, H, mu_b, lv_b, P_tot=6, P_batch=jnp.asarray(5.0),
+            N_tot=20, natural_gradient=True,
+        )
+        return el, du, kld, ng.grad_m, ng.grad_H
+
+    kx.use_pallas_b_chain = False
+    ref = all_bounds()
+    kx.use_pallas_b_chain = True
+    got = all_bounds()
+    names = ["gp_elbo", "dubo", "kld", "grad_m", "grad_H"]
+    for n, a, b in zip(names, ref, got):
+        # rsqrt-pivot Cholesky reassociates differently from XLA's blocked
+        # factorization; observed f32 drift ~3e-5 relative on these bounds
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4, err_msg=n
+        )
+
+
+def test_usable_gate():
+    from lvae_tpu.kernels_pallas import b_chain as bc
+
+    spec0, spec1, kp0, kp1, noise, xb, mask = make_inputs()
+    assert bc.usable(spec0, spec1, kp0, xb, jnp.float32)
+    assert not bc.usable(spec0, spec1, kp0, xb, jnp.float64)
+    # T beyond the VMEM budget falls back
+    xb_big = jnp.zeros((2, bc.MAX_T + 1, 4), jnp.float32)
+    assert not bc.usable(spec0, spec1, kp0, xb_big, jnp.float32)
+    # empty spec falls back
+    empty = kx.KernelSpec(components=())
+    assert not bc.usable(empty, spec1, kp0, xb, jnp.float32)
+
+
+def test_hensman_epoch_integration(bchain_on):
+    """A tiny Hensman epoch trains through the fused gate and matches the
+    XLA path's trajectory (f32 reassociation tolerance)."""
+    from lvae_tpu.data.blocks import build_subject_blocks
+    from lvae_tpu.data.datasets import ArrayDataset
+    from lvae_tpu.models import vae as mv
+    from lvae_tpu.train import hensman as th
+    from lvae_tpu.train import state as st
+
+    rng = np.random.RandomState(0)
+    p, t = 6, 4
+    n = p * t
+    labels = np.stack(
+        [
+            np.tile(np.arange(t), p).astype(float),
+            np.repeat(rng.normal(size=p), t),
+            np.repeat(np.arange(p), t).astype(float),
+            np.repeat(rng.randint(0, 2, p), t).astype(float),
+        ],
+        axis=1,
+    )
+    ds = ArrayDataset(
+        data=rng.uniform(size=(n, 20)).astype(np.float32),
+        labels=labels,
+        mask=np.ones((n, 20), np.float32),
+    )
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    spec0, spec1 = make_spec()
+    cfg = th.HensmanConfig(
+        spec0=spec0, spec1=spec1, latent_dim=3, P_tot=p, N_tot=n,
+        weight=0.5, loss_function="mse", natural_gradient=True,
+        natural_gradient_lr=0.01, constrain_scales=True, eps=1e-5,
+        dropout=False,
+    )
+    z = st.init_inducing_points(ds.labels, m_inducing=6, seed=0)
+
+    def run(flag, epochs=3):
+        kx.use_pallas_b_chain = flag
+        model = mv.SimpleVAE(latent_dim=3, num_dim=20)
+        tr = th.HensmanTrainer(
+            model, cfg, ds, blocks, z, subjects_per_batch=3, seed=0
+        )
+        return [tr.run_epoch().net for _ in range(epochs)]
+
+    ref = run(False)
+    got = run(True)
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, ref, rtol=1e-3)
