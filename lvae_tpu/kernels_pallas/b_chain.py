@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lvae_tpu.kernels_pallas.kernel_matrix import (
     block_param_grads,
+    component_term,
     masked_block_stack,
 )
 from lvae_tpu.ops import kernels as kx
@@ -52,24 +53,14 @@ def _make_body(spec0: kx.KernelSpec, spec1: kx.KernelSpec, T: int):
         def accumulate(comps, s_ref, g_ref):
             acc = jnp.zeros((T, T, bt), jnp.float32)
             for c, comp in enumerate(comps):
-                d = mm
-                for col in comp.eq_cols:
-                    d = d * (x[col][:, None] == x[col][None, :]).astype(jnp.float32)
-                for col in comp.and_cols:
-                    d = d * ((x[col][:, None] + x[col][None, :]) == 2.0).astype(
-                        jnp.float32
-                    )
-                if comp.cat_mod[0] >= 0:
-                    col, num = comp.cat_mod
-                    eq = x[col][:, None] == x[col][None, :]
-                    d = d * jnp.where(eq, 1.0, -1.0 / (num - 1)).astype(jnp.float32)
-                sc = s_ref[c][None, None, :]  # [1, 1, Bt]
-                if comp.rbf_col >= 0:
-                    diff = x[comp.rbf_col][:, None] - x[comp.rbf_col][None, :]
-                    term = sc * jnp.exp(-(diff * diff) * g_ref[c][None, None, :]) * d
-                else:
-                    term = sc * d
-                acc = acc + term
+                acc = acc + component_term(
+                    comp,
+                    lambda col: x[col][:, None],  # value at t1: [T, 1, Bt]
+                    lambda col: x[col][None, :],  # value at t2: [1, T, Bt]
+                    mm,
+                    s_ref[c][None, None, :],
+                    g_ref[c][None, None, :],
+                )
             return acc
 
         k0 = accumulate(spec0.components, s0_ref, g0_ref)
@@ -284,7 +275,10 @@ fused_b_chain.defvjp(_b_chain_fwd, _b_chain_bwd)
 def b_chain_operators(spec0, spec1, kp0, kp1, noise, xb, mask):
     """Drop-in producing (iB, logdet_B [L], tr(B⁻¹K0) [L]) in xb's dtype from
     RAW kernel params — the fused replacement for block builds + B assembly +
-    cholesky_and_inverse + logdet + the Nyström block trace."""
+    cholesky_and_inverse + logdet + the Nyström block trace, i.e. the
+    reference's per-batch ``covar_module1(x_st) + noise`` → ``torch.cholesky``
+    → ``torch.cholesky_solve`` → logdet → trace chain
+    (elbo_functions.py:54-74 and 171-186)."""
     def cg(kp):
         scale = kx.constrain(kp.raw_scale)
         ls = kx.constrain(kp.raw_lengthscale)
@@ -300,7 +294,9 @@ def b_chain_operators(spec0, spec1, kp0, kp1, noise, xb, mask):
 
 
 def usable(spec0, spec1, kp0, xb, dtype) -> bool:
-    """Shape/dtype gate (VMEM + layout constraints of the kernel)."""
+    """Shape/dtype gate (VMEM + layout constraints of the kernel); falls
+    back to the XLA chain in ops/elbo.gp_block_operators otherwise (same
+    math either way — elbo_functions.py:54-74)."""
     return (
         dtype == jnp.float32
         and kp0.raw_scale.ndim == 2

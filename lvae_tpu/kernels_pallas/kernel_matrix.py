@@ -35,6 +35,31 @@ TILE_N1 = 128
 TILE_N2 = 256
 
 
+def component_term(comp, get1, get2, mm, sc, g):
+    """One additive component's term, layout-agnostic (kernel_spec.py:9-69
+    factor semantics: equality / both-one / centred-categorical / RBF).
+
+    ``get1(col)``/``get2(col)`` return the col-th covariate broadcast to the
+    row/column position of the output tile; ``mm`` is the (mask ⊗ mask)
+    product in that same layout; ``sc``/``g`` the per-tile constrained scale
+    and 1/(2ℓ²). Single source for every Pallas kernel body that evaluates
+    components (the tiled matrix builder, the block-pair builder, and the
+    fused B-chain) — the jnp path is ops/kernels._component_base."""
+    d = mm
+    for col in comp.eq_cols:
+        d = d * (get1(col) == get2(col)).astype(jnp.float32)
+    for col in comp.and_cols:
+        d = d * ((get1(col) + get2(col)) == 2.0).astype(jnp.float32)
+    if comp.cat_mod[0] >= 0:
+        col, num = comp.cat_mod
+        eq = get1(col) == get2(col)
+        d = d * jnp.where(eq, 1.0, -1.0 / (num - 1)).astype(jnp.float32)
+    if comp.rbf_col >= 0:
+        diff = get1(comp.rbf_col) - get2(comp.rbf_col)
+        return sc * jnp.exp(-(diff * diff) * g) * d
+    return sc * d
+
+
 def _make_kernel_body(spec: kx.KernelSpec):
     comps = spec.components
 
@@ -46,21 +71,14 @@ def _make_kernel_body(spec: kx.KernelSpec):
         tn2 = x2t.shape[1]
         acc = jnp.zeros((tn1, tn2), jnp.float32)
         for c, comp in enumerate(comps):
-            term = jnp.full((tn1, tn2), scale_ref[li, c], jnp.float32)
-            if comp.rbf_col >= 0:
-                diff = x1[:, comp.rbf_col][:, None] - x2t[comp.rbf_col][None, :]
-                term = term * jnp.exp(-(diff * diff) * g_ref[li, c])
-            for col in comp.eq_cols:
-                eq = x1[:, col][:, None] == x2t[col][None, :]
-                term = term * eq.astype(jnp.float32)
-            for col in comp.and_cols:
-                both = (x1[:, col][:, None] + x2t[col][None, :]) == 2.0
-                term = term * both.astype(jnp.float32)
-            if comp.cat_mod[0] >= 0:
-                col, num = comp.cat_mod
-                eq = x1[:, col][:, None] == x2t[col][None, :]
-                term = term * jnp.where(eq, 1.0, -1.0 / (num - 1))
-            acc = acc + term
+            acc = acc + component_term(
+                comp,
+                lambda col: x1[:, col][:, None],
+                lambda col: x2t[col][None, :],
+                jnp.float32(1.0),
+                scale_ref[li, c],
+                g_ref[li, c],
+            )
         out_ref[0] = acc
 
     return body
@@ -212,23 +230,15 @@ def _make_block_pair_body(spec0: kx.KernelSpec, spec1: kx.KernelSpec,
     def accumulate(comps, r1_ref, r2_ref, mm, s_ref, g_ref):
         acc = jnp.zeros((L, S, TT), jnp.float32)
         for c, comp in enumerate(comps):
-            d = mm
-            for col in comp.eq_cols:
-                d = d * (r1_ref[col] == r2_ref[col]).astype(jnp.float32)
-            for col in comp.and_cols:
-                d = d * ((r1_ref[col] + r2_ref[col]) == 2.0).astype(jnp.float32)
-            if comp.cat_mod[0] >= 0:
-                col, num = comp.cat_mod
-                eq = r1_ref[col] == r2_ref[col]
-                d = d * jnp.where(eq, 1.0, -1.0 / (num - 1)).astype(jnp.float32)
-            scale_b = s_ref[c][:, :, None]  # [L, 1, 1]
-            if comp.rbf_col >= 0:
-                diff = r1_ref[comp.rbf_col] - r2_ref[comp.rbf_col]  # [S, TT]
-                sq = diff * diff
-                term = scale_b * jnp.exp(-sq[None] * g_ref[c][:, :, None]) * d[None]
-            else:
-                term = scale_b * d[None]
-            acc = acc + term
+            # mm [S, TT] broadcasts against the [L, 1, 1] params to [L, S, TT]
+            acc = acc + component_term(
+                comp,
+                lambda col: r1_ref[col],
+                lambda col: r2_ref[col],
+                mm,
+                s_ref[c][:, :, None],
+                g_ref[c][:, :, None],
+            )
         return acc
 
     def body(r1_ref, r2_ref, mm_ref, s0_ref, g0_ref, s1_ref, g1_ref,
@@ -310,7 +320,9 @@ def _block_pair_bwd(spec0, spec1, res, cots):
 
 
 def block_param_grads(spec, scale, g, cot, xf, mm3):
-    """(d scale, d g) of ``Σ cot ⊙ K_blocks(scale, g)`` for one spec.
+    """(d scale, d g) of ``Σ cot ⊙ K_blocks(scale, g)`` for one spec —
+    the analytic ScaleKernel/RbfKernel parameter gradients GPyTorch autodiffs
+    in the reference (kernel_gen.py:199-310 batched kernels).
 
     ``cot [L, S, T, T]`` f32, ``xf [S, T, Q]`` f32, ``mm3 [S, T, T]`` the
     mask outer product. Shared by the block-pair and B-chain custom VJPs."""
@@ -337,7 +349,8 @@ def block_param_grads(spec, scale, g, cot, xf, mm3):
 
 def masked_block_stack(spec, scale, g, xf, mm3):
     """``K_blocks [L, S, T, T]`` f32 from CONSTRAINED (scale, g) — the plain
-    jnp evaluation the custom VJPs rebuild intermediates with."""
+    jnp evaluation the custom VJPs rebuild intermediates with (the masked
+    per-subject ``covar_module(x_st)`` blocks of elbo_functions.py:60-62)."""
     s_dim, t_dim, _ = xf.shape
     l = scale.shape[0]
     acc = jnp.zeros((l, s_dim, t_dim, t_dim), jnp.float32)

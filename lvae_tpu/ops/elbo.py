@@ -131,9 +131,7 @@ def gp_block_operators(
 
         want_bchain = bc.usable(spec0, spec1, kp0, xb, dtype)
     if want_bchain:
-        from lvae_tpu.kernels_pallas.b_chain import b_chain_operators
-
-        ib, logdet_b, tr_ib_k0 = b_chain_operators(
+        ib, logdet_b, tr_ib_k0 = bc.b_chain_operators(
             spec0, spec1, kp0, kp1, noise, xb, mask
         )
         k0_st = b = lb = None

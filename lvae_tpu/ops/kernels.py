@@ -63,7 +63,8 @@ elif _bchain_env in ("0", "false", "off", "no"):
     use_pallas_b_chain = False
 elif _bchain_env not in ("", "auto"):
     raise ValueError(
-        f"LVAE_BCHAIN={os.environ['LVAE_BCHAIN']!r}: expected 1/0/auto"
+        f"LVAE_BCHAIN={os.environ['LVAE_BCHAIN']!r}: expected "
+        "1/0/true/false/on/off/yes/no/auto"
     )
 # what 'auto' resolves to (flips after a measured win on the target chip)
 B_CHAIN_AUTO_DEFAULT: bool = False
