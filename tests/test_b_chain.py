@@ -230,3 +230,36 @@ def test_hensman_epoch_integration(bchain_on):
     got = run(True)
     assert np.all(np.isfinite(got))
     np.testing.assert_allclose(got, ref, rtol=1e-3)
+
+
+def test_cat_mod_component(bchain_on):
+    """The centred-categorical factor (CatKernelMod, kernel_spec.py:35-55 —
+    implemented here as cat_mod) evaluates correctly inside the fused
+    kernel's component loop."""
+    from lvae_tpu.kernels_pallas.b_chain import b_chain_operators
+
+    rng = np.random.RandomState(4)
+    s, t, latent = 4, 3, 2
+    xb = np.zeros((s, t, 3), np.float32)
+    xb[:, :, 0] = np.arange(t)[None]
+    xb[:, :, 1] = rng.randint(0, 4, (s, t))  # 4-class categorical
+    xb[:, :, 2] = np.arange(s)[:, None]
+    mask = np.ones((s, t), np.float32)
+    spec0 = kx.KernelSpec(components=(
+        kx.KernelComponent(kind="cat_mod", rbf_col=-1, eq_cols=(),
+                           and_cols=(), cat_mod=(1, 4)),
+        kx.KernelComponent(kind="sqexp", rbf_col=0, eq_cols=(),
+                           and_cols=(), cat_mod=(-1, 0)),
+    ))
+    spec1 = kx.KernelSpec(components=(
+        kx.KernelComponent(kind="cat", rbf_col=-1, eq_cols=(2,),
+                           and_cols=(), cat_mod=(-1, 0)),
+    ))
+    kp0 = kx.init_kernel_params(spec0, latent)
+    kp1 = kx.init_kernel_params(spec1, latent)
+    noise = jnp.ones((latent,), jnp.float32)
+    args = (spec0, spec1, kp0, kp1, noise, jnp.asarray(xb), jnp.asarray(mask))
+    ib0, ld0, tr0 = xla_reference(*args)
+    ib1, ld1, tr1 = b_chain_operators(*args)
+    np.testing.assert_allclose(np.asarray(ib1), np.asarray(ib0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tr1), np.asarray(tr0), rtol=2e-5, atol=2e-5)

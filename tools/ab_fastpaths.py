@@ -1,0 +1,107 @@
+"""A/B the opt-in fast paths on the real chip, one bench.py run per arm.
+
+Arms: baseline (both off), s2d convs, fused B-chain, both. Each arm runs
+``bench.py`` in a subprocess with the corresponding LVAE_S2D/LVAE_BCHAIN env
+(module switches are baked at trace time, so a fresh process per arm is the
+only clean isolation) and the persistent compile + AOT caches keyed per arm.
+Prints a compact table of epoch wall ms / measured device ms and the deltas
+vs baseline — the numbers that decide S2D_AUTO_DEFAULT / B_CHAIN_AUTO_DEFAULT
+(models/vae.py, ops/kernels.py).
+
+Usage: env PYTHONPATH=.:/root/.axon_site python tools/ab_fastpaths.py
+       [--arms baseline,s2d,bchain,both] [--timeout 585] [--retries 2]
+
+A killed/timed-out arm is retried (compiles persist via the caches, the
+retry completes — CLAUDE.md chip-latency protocol); after the retry budget
+the arm is reported FAILED and the table still prints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ARMS = {
+    "baseline": {"LVAE_S2D": "0", "LVAE_BCHAIN": "0"},
+    "s2d": {"LVAE_S2D": "1", "LVAE_BCHAIN": "0"},
+    "bchain": {"LVAE_S2D": "0", "LVAE_BCHAIN": "1"},
+    "both": {"LVAE_S2D": "1", "LVAE_BCHAIN": "1"},
+}
+
+
+def run_arm(name: str, env_over: dict, timeout: int, retries: int):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update(env_over)
+    env["BENCH_SKIP_TORCH"] = "1"  # the torch CPU leg is arm-invariant
+    for attempt in range(1, retries + 2):
+        t0 = time.time()
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(root, "bench.py")],
+                env=env, timeout=timeout, capture_output=True, text=True,
+                cwd=root,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# {name}: attempt {attempt} timed out after {timeout}s "
+                  "(compiles persist; retrying)", file=sys.stderr, flush=True)
+            continue
+        line = (out.stdout or "").strip().splitlines()
+        js = None
+        for ln in reversed(line):
+            try:
+                js = json.loads(ln)
+                break
+            except json.JSONDecodeError:
+                continue
+        if out.returncode == 0 and js is not None:
+            if js.get("extra", {}).get("stale"):
+                print(f"# {name}: stale re-emission, not a fresh run — "
+                      "treating as failure", file=sys.stderr, flush=True)
+                continue
+            js["_wall_s"] = round(time.time() - t0, 1)
+            return js
+        tail = (out.stderr or "").strip().splitlines()[-3:]
+        print(f"# {name}: attempt {attempt} rc={out.returncode}: "
+              + " | ".join(tail), file=sys.stderr, flush=True)
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arms", default="baseline,s2d,bchain,both")
+    ap.add_argument("--timeout", type=int, default=585)
+    ap.add_argument("--retries", type=int, default=2)
+    args = ap.parse_args()
+
+    results = {}
+    for name in args.arms.split(","):
+        name = name.strip()
+        if name not in ARMS:
+            sys.exit(f"unknown arm {name!r}; choose from {sorted(ARMS)}")
+        print(f"=== arm {name} {ARMS[name]} ===", flush=True)
+        results[name] = run_arm(name, ARMS[name], args.timeout, args.retries)
+        if results[name]:
+            print(json.dumps(results[name]), flush=True)
+
+    base = results.get("baseline") or {}
+    base_ms = base.get("value")
+    base_dev = (base.get("extra") or {}).get("measured_device_ms_per_epoch")
+    print("\narm        wall_ms  device_ms  vs_base(wall)  vs_base(device)")
+    for name, js in results.items():
+        if js is None:
+            print(f"{name:<10} FAILED")
+            continue
+        ms = js.get("value")
+        dev = (js.get("extra") or {}).get("measured_device_ms_per_epoch")
+        rw = f"{base_ms / ms:.2f}x" if base_ms and ms else "-"
+        rd = f"{base_dev / dev:.2f}x" if base_dev and dev else "-"
+        print(f"{name:<10} {ms!s:<8} {dev!s:<10} {rw:<14} {rd}")
+
+
+if __name__ == "__main__":
+    main()
