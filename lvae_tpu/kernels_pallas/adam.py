@@ -35,6 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.flatten_util import ravel_pytree
 
+from lvae_tpu.ops import linalg as la
+
 _LANE = 128
 _BLOCK_ROWS = 512  # [512, 128] f32 blocks = 256 KiB per operand in VMEM
 
@@ -149,11 +151,21 @@ def fused_adam(
         if _fuse(flat_g.dtype):
             npad = state.mu.shape[0]
             g = jnp.zeros((npad,), jnp.float32).at[:n].set(flat_g)
-            c = jnp.stack([c1, c2]).reshape(1, 2).astype(jnp.float32)
-            mo, vo, d = _adam_pallas(
-                state.mu, state.nu, g, c,
-                b1=b1, b2=b2, lr=learning_rate, eps=eps, interpret=interpret,
-            )
+            if la.pallas_suppress_active():
+                # mesh-traced program (ops/linalg.pallas_suppressed): keep
+                # the init-decided padded layout but run the identical math
+                # as plain XLA ops — GSPMD cannot partition the custom call.
+                # Padded tail stays exact zeros (g is zero there, eps > 0).
+                mo = b1 * state.mu + (1.0 - b1) * g
+                vo = b2 * state.nu + (1.0 - b2) * (g * g)
+                d = (-learning_rate) * (mo * c1) / (jnp.sqrt(vo * c2) + eps)
+            else:
+                c = jnp.stack([c1, c2]).reshape(1, 2).astype(jnp.float32)
+                mo, vo, d = _adam_pallas(
+                    state.mu, state.nu, g, c,
+                    b1=b1, b2=b2, lr=learning_rate, eps=eps,
+                    interpret=interpret,
+                )
             delta = d[:n]
         else:
             mo = b1 * state.mu + (1.0 - b1) * flat_g

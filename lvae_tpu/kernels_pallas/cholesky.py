@@ -112,6 +112,9 @@ def _use_pallas(a: jax.Array, max_n: int = 64) -> bool:
         return False
     if a.shape[-1] > max_n or a.shape[-1] < 2:
         return False
+    if la.pallas_suppress_active():
+        # mesh-traced program: GSPMD cannot partition the custom call
+        return False
     return jax.default_backend() == "tpu"
 
 

@@ -126,6 +126,10 @@ def gp_block_operators(
         want_bchain = (
             kx.B_CHAIN_AUTO_DEFAULT and jax.default_backend() == "tpu"
         )
+    if want_bchain and la.pallas_suppress_active():
+        # mesh-traced program: stay on the XLA chain (GSPMD cannot partition
+        # the Pallas custom call; see ops/linalg.pallas_suppressed)
+        want_bchain = False
     if want_bchain:
         from lvae_tpu.kernels_pallas import b_chain as bc
 
@@ -146,6 +150,7 @@ def gp_block_operators(
             and kp0.raw_scale.ndim == 2
             and (kp0.raw_scale.shape[0] * p * t * t * 4) <= 2 * 1024 * 1024
             and jax.default_backend() == "tpu"
+            and not la.pallas_suppress_active()
         )
         if use_pallas:
             from lvae_tpu.kernels_pallas.kernel_matrix import block_kernel_pair_pallas

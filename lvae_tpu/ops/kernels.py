@@ -37,6 +37,8 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from lvae_tpu.ops import linalg as la
+
 MIN_LOG = -16.0
 DEFAULT_SCALE = math.log(2.0)  # softplus(0), the GPyTorch ScaleKernel default
 DEFAULT_LENGTHSCALE = 2.5  # kernel_spec.py:68
@@ -214,6 +216,7 @@ def kernel_matrix(
         and x1.shape[0] >= 512
         and x2.shape[0] >= 512
         and jax.default_backend() == "tpu"
+        and not la.pallas_suppress_active()
     ):
         from lvae_tpu.kernels_pallas.kernel_matrix import kernel_matrix_pallas
 

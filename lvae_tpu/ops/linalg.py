@@ -10,6 +10,9 @@ which tile onto the MXU for the [L, P, T, T] block stacks.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax
 import jax.numpy as jnp
 
@@ -64,9 +67,52 @@ def symmetrize(a: jax.Array) -> jax.Array:
 # (lvae_tpu/kernels_pallas/cholesky.py). Toggle for A/B tests and debugging.
 use_pallas_cholesky: bool = True
 
+# Trace-scope suppression of EVERY Pallas fast path (cholesky, fused B-chain,
+# kernel-matrix builder, block-pair builder, fused Adam). XLA's SPMD
+# partitioner has no sharding rule for Pallas custom calls, so a program
+# traced for a multi-device mesh must stay on the XLA implementations — whose
+# partitioning the compiled-HLO tests prove (tests/test_sharding.py). The
+# sharded trainer facades and ``sharded_gp_predict`` (parallel/mesh.py) enter
+# this context around every dispatch; the Pallas gates consult it at trace
+# time. Trivial 1-device meshes keep the Pallas kernels (single-chip perf is
+# unaffected). A ContextVar so a concurrent thread's single-device trace
+# can't observe another trainer's suppression scope.
+_pallas_suppress_depth = contextvars.ContextVar(
+    "lvae_pallas_suppress_depth", default=0
+)
+
+
+@contextlib.contextmanager
+def pallas_suppressed(active: bool = True):
+    """Force the XLA implementations for every op traced inside the block.
+
+    Caveat (same numbers either way, perf only): the flag is read at trace
+    time and is NOT part of ``jax.jit``'s cache key — a function first traced
+    under suppression is reused XLA-only for later calls with identical
+    avals+shardings. In practice mesh-placed arrays carry different shardings
+    from single-device ones, so the traces don't collide; the Hensman AOT
+    key covers the state explicitly (train/hensman.py _aot_key).
+    """
+    if not active:
+        yield
+        return
+    token = _pallas_suppress_depth.set(_pallas_suppress_depth.get() + 1)
+    try:
+        yield
+    finally:
+        _pallas_suppress_depth.reset(token)
+
+
+def pallas_suppress_active() -> bool:
+    return _pallas_suppress_depth.get() > 0
+
 
 def cholesky_and_inverse(a: jax.Array, jitter: float = 0.0):
-    """(cholesky(A), A⁻¹) in one shot — the pair every GP bound consumes."""
+    """(cholesky(A), A⁻¹) in one shot — the pair every GP bound consumes.
+
+    Under :func:`pallas_suppressed`, ``cholesky_inverse``'s own gate
+    (kernels_pallas/cholesky.py ``_use_pallas`` — the single authority)
+    falls back to the XLA implementation."""
     if jitter:
         n = a.shape[-1]
         a = a + jitter * jnp.eye(n, dtype=a.dtype)

@@ -137,6 +137,35 @@ class _ShardedTrainer:
     def state(self, value):
         self.inner.state = self._reshard_state(value)
 
+    def _pallas_guard(self):
+        """Pin mesh-traced programs to the XLA implementations.
+
+        GSPMD has no partitioning rule for Pallas custom calls, so the fast
+        paths (Pallas cholesky, fused B-chain, kernel builders, fused Adam)
+        must not enter a program compiled for a multi-device mesh — the XLA
+        chain's partitioning is what the compiled-HLO tests prove
+        (tests/test_sharding.py). Tracing happens inside the first dispatch,
+        so the facade enters this context around every compute entry point.
+        Trivial 1-device meshes keep the Pallas kernels.
+
+        The guard deliberately stays active across user callbacks inside
+        ``fit``: the pipeline's validation/recovery callbacks compute over
+        the trainer's MESH-PLACED state, so their traces need the same
+        pinning. (Same numbers either way — suppression only selects the
+        XLA implementations.)
+        """
+        from lvae_tpu.ops import linalg as la
+
+        return la.pallas_suppressed(self.mesh.size > 1)
+
+    def run_epoch(self):
+        with self._pallas_guard():
+            return self.inner.run_epoch()
+
+    def run_epochs(self, n: int):
+        with self._pallas_guard():
+            return self.inner.run_epochs(n)
+
     def fit(self, epochs: int, log_every: int = 1, callback=None, chunk=None):
         cb = (
             None
@@ -144,7 +173,8 @@ class _ShardedTrainer:
             else (lambda _inner, epoch, m: callback(self, epoch, m))
         )
         kwargs = {} if chunk is None else {"chunk": chunk}
-        return self.inner.fit(epochs, log_every, cb, **kwargs)
+        with self._pallas_guard():
+            return self.inner.fit(epochs, log_every, cb, **kwargs)
 
 
 class ShardedStandardTrainer(_ShardedTrainer):
@@ -276,7 +306,15 @@ class ShardedVITrainer(_ShardedTrainer):
 
     def fit(self, epochs: int, log_every: int = 100, chunk: int = 100):
         # VITrainer.fit has no callback parameter
-        return self.inner.fit(epochs, log_every=log_every, chunk=chunk)
+        with self._pallas_guard():
+            return self.inner.fit(epochs, log_every=log_every, chunk=chunk)
+
+    def optimize_prediction_set(self, *args, **kwargs):
+        # phase 2 builds a fresh joint cohort but CLOSES OVER the mesh-placed
+        # GP/decoder/moment leaves, so its trace is a multi-device program
+        # too — it needs the same XLA pinning as the epoch programs
+        with self._pallas_guard():
+            return self.inner.optimize_prediction_set(*args, **kwargs)
 
 
 def _put_axis_or_replicate(x, mesh: Mesh, axis: str):
@@ -322,7 +360,9 @@ def sharded_gp_predict(
         lambda a: _put_axis_or_replicate(a, mesh, "data"), inputs
     )
     z = _put(z, mesh, P())
-    with mesh:
+    from lvae_tpu.ops import linalg as la
+
+    with mesh, la.pallas_suppressed(mesh.size > 1):
         return _gp_predict_jit()(spec0, spec1, kp0, kp1, noise, inputs, z, eps)
 
 

@@ -473,6 +473,10 @@ class HensmanTrainer:
             kx.use_pallas_kernel_matrix,
             kx.use_pallas_block_pair,
             (kx.use_pallas_b_chain, kx.B_CHAIN_AUTO_DEFAULT),
+            # mesh-traced programs pin the XLA paths (the sharded facade's
+            # pallas guard); the key must distinguish them from a
+            # hypothetically identical unsuppressed trace
+            la.pallas_suppress_active(),
             n,
         )
 
