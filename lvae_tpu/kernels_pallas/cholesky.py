@@ -112,8 +112,9 @@ def _use_pallas(a: jax.Array, max_n: int = 64) -> bool:
         return False
     if a.shape[-1] > max_n or a.shape[-1] < 2:
         return False
-    if la.pallas_suppress_active():
-        # mesh-traced program: GSPMD cannot partition the custom call
+    if la.pallas_suppress_active() and not use_partitioned_cholesky:
+        # mesh-traced program with the self-partitioning route disabled:
+        # neither Shardy nor GSPMD can shard a bare Pallas custom call
         return False
     return jax.default_backend() == "tpu"
 
@@ -121,6 +122,98 @@ def _use_pallas(a: jax.Array, max_n: int = 64) -> bool:
 def _chol_inv_reference(a: jax.Array):
     l = jnp.linalg.cholesky(a)
     return l, la.chol_inverse(l)
+
+
+def _chol_inv_direct(a: jax.Array, interpret: bool = False):
+    """Flatten batch dims, pad to the lane tile, launch the kernel, unpad."""
+    batch_shape = a.shape[:-2]
+    n = a.shape[-1]
+    b = 1
+    for s in batch_shape:
+        b *= s
+    a2 = a.reshape(b, n, n)
+    pad = (-b) % _LANE
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (pad, n, n))
+        a2 = jnp.concatenate([a2, eye], axis=0)
+    l2, inv2 = _chol_inv_pallas(a2, interpret=interpret)
+    if pad:
+        l2, inv2 = l2[:b], inv2[:b]
+    return l2.reshape(a.shape), inv2.reshape(a.shape)
+
+
+# --- self-partitioning route for mesh-traced programs ------------------------
+#
+# Neither Shardy nor GSPMD has a sharding rule for a bare Pallas custom call,
+# so a program traced for a multi-device mesh cannot contain the direct
+# ``pallas_call`` above. But the op is embarrassingly parallel over its batch
+# dims: ``jax.experimental.custom_partitioning`` lets us DECLARE that rule —
+# batch dims pass through, the two matrix dims must be replicated — and hand
+# the partitioner a per-shard lowering that launches the SAME kernel on each
+# device's local ``[L/l, S/d, n, n]`` block. ``_chol_inv_impl`` selects this
+# route exactly when a sharded facade's mesh guard is active
+# (``ops.linalg.pallas_suppressed`` — the trace-scope marker for multi-device
+# programs); single-chip traces keep the direct call, byte-identical to the
+# pre-partitioned program. CPU-mesh equality + local-shard-shape proofs:
+# tests/test_partitioned_cholesky.py.
+
+use_partitioned_cholesky: bool = True
+_partition_interpret: bool = False  # test hook: interpret-mode kernel per shard
+
+
+def _replicate_tail_sharding(sharding, global_shape):
+    """Operand/result sharding with matrix dims replicated and any batch dim
+    whose global size does not divide its mesh-axis product dropped to
+    replicated (a padded local shard would not be SPD — Cholesky of the pad
+    garbage must never be reassembled positionally)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    ndim = len(global_shape)
+    spec = tuple(sharding.spec) + (None,) * (ndim - len(sharding.spec))
+    out = []
+    for d, entry in enumerate(spec[:-2]):
+        if entry is None:
+            out.append(None)
+            continue
+        names = entry if isinstance(entry, tuple) else (entry,)
+        prod = 1
+        for name in names:
+            prod *= sharding.mesh.shape[name]
+        out.append(entry if global_shape[d] % prod == 0 else None)
+    return NamedSharding(sharding.mesh, PartitionSpec(*out, None, None))
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_chol_inv(ndim: int, interpret: bool):
+    """custom_partitioning wrapper for rank-``ndim`` SPD stacks.
+
+    The Shardy rule (einsum-like) marks every batch dim as a passthrough
+    factor and the matrix dims as need-replication; the GSPMD fallbacks
+    (infer/partition) derive the same placement from the operand sharding.
+    The per-shard lower_fn is the direct kernel launch — lane padding inside
+    ``_chol_inv_direct`` handles whatever local batch the mesh leaves."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    fn = custom_partitioning(lambda a: _chol_inv_direct(a, interpret))
+    factors = tuple(f"b{i}" for i in range(ndim - 2)) + ("i", "j")
+    mapping = " ".join(factors)
+    rule = f"{mapping} -> {mapping}, {mapping}"
+
+    def infer_sharding_from_operands(mesh, arg_shapes, shape):
+        s = _replicate_tail_sharding(arg_shapes[0].sharding, arg_shapes[0].shape)
+        return (s, s)
+
+    def partition(mesh, arg_shapes, result_shape):
+        s = _replicate_tail_sharding(arg_shapes[0].sharding, arg_shapes[0].shape)
+        return mesh, (lambda a: _chol_inv_direct(a, interpret)), (s, s), (s,)
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=rule,
+        need_replication_factors=("i", "j"),
+    )
+    return fn
 
 
 @jax.custom_vjp
@@ -136,20 +229,10 @@ def cholesky_inverse(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def _chol_inv_impl(a: jax.Array):
     if not _use_pallas(a):
         return _chol_inv_reference(a)
-    batch_shape = a.shape[:-2]
-    n = a.shape[-1]
-    b = 1
-    for s in batch_shape:
-        b *= s
-    a2 = a.reshape(b, n, n)
-    pad = (-b) % _LANE
-    if pad:
-        eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (pad, n, n))
-        a2 = jnp.concatenate([a2, eye], axis=0)
-    l2, inv2 = _chol_inv_pallas(a2)
-    if pad:
-        l2, inv2 = l2[:b], inv2[:b]
-    return l2.reshape(a.shape), inv2.reshape(a.shape)
+    if la.pallas_suppress_active():
+        # mesh-traced program: route through the declared partitioning rule
+        return _partitioned_chol_inv(a.ndim, _partition_interpret)(a)
+    return _chol_inv_direct(a)
 
 
 def _chol_inv_fwd(a):
@@ -191,17 +274,4 @@ cholesky_inverse.defvjp(_chol_inv_fwd, _chol_inv_bwd)
 
 def cholesky_inverse_interpret(a: jax.Array):
     """Interpreter-mode entry for CPU tests of the kernel body."""
-    batch_shape = a.shape[:-2]
-    n = a.shape[-1]
-    b = 1
-    for s in batch_shape:
-        b *= s
-    a2 = a.reshape(b, n, n).astype(jnp.float32)
-    pad = (-b) % _LANE
-    if pad:
-        eye = jnp.broadcast_to(jnp.eye(n, dtype=a2.dtype), (pad, n, n))
-        a2 = jnp.concatenate([a2, eye], axis=0)
-    l2, inv2 = _chol_inv_pallas(a2, interpret=True)
-    if pad:
-        l2, inv2 = l2[:b], inv2[:b]
-    return l2.reshape(a.shape), inv2.reshape(a.shape)
+    return _chol_inv_direct(a.astype(jnp.float32), interpret=True)

@@ -67,16 +67,21 @@ def symmetrize(a: jax.Array) -> jax.Array:
 # (lvae_tpu/kernels_pallas/cholesky.py). Toggle for A/B tests and debugging.
 use_pallas_cholesky: bool = True
 
-# Trace-scope suppression of EVERY Pallas fast path (cholesky, fused B-chain,
-# kernel-matrix builder, block-pair builder, fused Adam). XLA's SPMD
-# partitioner has no sharding rule for Pallas custom calls, so a program
-# traced for a multi-device mesh must stay on the XLA implementations — whose
-# partitioning the compiled-HLO tests prove (tests/test_sharding.py). The
-# sharded trainer facades and ``sharded_gp_predict`` (parallel/mesh.py) enter
-# this context around every dispatch; the Pallas gates consult it at trace
-# time. Trivial 1-device meshes keep the Pallas kernels (single-chip perf is
-# unaffected). A ContextVar so a concurrent thread's single-device trace
-# can't observe another trainer's suppression scope.
+# Trace-scope marker for multi-device mesh programs. XLA's SPMD partitioner
+# has no sharding rule for bare Pallas custom calls, so inside this context
+# every Pallas fast path without a declared partitioning rule (fused B-chain,
+# kernel-matrix builder, block-pair builder, fused Adam) pins its XLA
+# implementation — whose partitioning the compiled-HLO tests prove
+# (tests/test_sharding.py). The batched Cholesky is the exception: it is
+# self-partitioning (kernels_pallas/cholesky.py declares the batch-dims-
+# passthrough rule via jax.experimental.custom_partitioning) and under this
+# context swaps to that route, keeping the kernel on each device's local
+# shard. The sharded trainer facades and ``sharded_gp_predict``
+# (parallel/mesh.py) enter this context around every dispatch; the Pallas
+# gates consult it at trace time. Trivial 1-device meshes keep the direct
+# Pallas kernels (single-chip perf is unaffected). A ContextVar so a
+# concurrent thread's single-device trace can't observe another trainer's
+# suppression scope.
 _pallas_suppress_depth = contextvars.ContextVar(
     "lvae_pallas_suppress_depth", default=0
 )
@@ -84,7 +89,9 @@ _pallas_suppress_depth = contextvars.ContextVar(
 
 @contextlib.contextmanager
 def pallas_suppressed(active: bool = True):
-    """Force the XLA implementations for every op traced inside the block.
+    """Mark every op traced inside the block as part of a mesh program:
+    non-partitionable Pallas paths pin their XLA implementations; the
+    self-partitioning Cholesky swaps to its custom_partitioning route.
 
     Caveat (same numbers either way, perf only): the flag is read at trace
     time and is NOT part of ``jax.jit``'s cache key — a function first traced
@@ -110,9 +117,12 @@ def pallas_suppress_active() -> bool:
 def cholesky_and_inverse(a: jax.Array, jitter: float = 0.0):
     """(cholesky(A), A⁻¹) in one shot — the pair every GP bound consumes.
 
-    Under :func:`pallas_suppressed`, ``cholesky_inverse``'s own gate
-    (kernels_pallas/cholesky.py ``_use_pallas`` — the single authority)
-    falls back to the XLA implementation."""
+    Under :func:`pallas_suppressed` (a mesh-traced program),
+    ``cholesky_inverse`` routes through its self-partitioning
+    custom_partitioning wrapper (kernels_pallas/cholesky.py) so each device
+    runs the kernel on its local batch shard; with
+    ``use_partitioned_cholesky`` off it falls back to the XLA
+    implementation instead."""
     if jitter:
         n = a.shape[-1]
         a = a + jitter * jnp.eye(n, dtype=a.dtype)

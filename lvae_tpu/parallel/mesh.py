@@ -138,15 +138,18 @@ class _ShardedTrainer:
         self.inner.state = self._reshard_state(value)
 
     def _pallas_guard(self):
-        """Pin mesh-traced programs to the XLA implementations.
+        """Mark every trace dispatched by this facade as a mesh program.
 
-        GSPMD has no partitioning rule for Pallas custom calls, so the fast
-        paths (Pallas cholesky, fused B-chain, kernel builders, fused Adam)
-        must not enter a program compiled for a multi-device mesh — the XLA
-        chain's partitioning is what the compiled-HLO tests prove
-        (tests/test_sharding.py). Tracing happens inside the first dispatch,
-        so the facade enters this context around every compute entry point.
-        Trivial 1-device meshes keep the Pallas kernels.
+        The partitioner has no sharding rule for bare Pallas custom calls, so
+        the non-partitionable fast paths (fused B-chain, kernel builders,
+        fused Adam) must not enter a program compiled for a multi-device
+        mesh — the XLA chain's partitioning is what the compiled-HLO tests
+        prove (tests/test_sharding.py). The batched Cholesky is
+        self-partitioning (custom_partitioning rule in
+        kernels_pallas/cholesky.py) and stays on the kernel, launched
+        per-shard. Tracing happens inside the first dispatch, so the facade
+        enters this context around every compute entry point. Trivial
+        1-device meshes keep the direct Pallas kernels.
 
         The guard deliberately stays active across user callbacks inside
         ``fit``: the pipeline's validation/recovery callbacks compute over

@@ -455,6 +455,7 @@ class HensmanTrainer:
         them — two cohorts with identical shapes but different subject
         orderings compile different programs), the optimizer's lr/kind
         (closed over, not a cfg field), and module-global model switches."""
+        from lvae_tpu.kernels_pallas import cholesky as kc
         from lvae_tpu.ops import linalg as la
         from lvae_tpu.utils import aot_cache
 
@@ -474,9 +475,11 @@ class HensmanTrainer:
             kx.use_pallas_block_pair,
             (kx.use_pallas_b_chain, kx.B_CHAIN_AUTO_DEFAULT),
             # mesh-traced programs pin the XLA paths (the sharded facade's
-            # pallas guard); the key must distinguish them from a
-            # hypothetically identical unsuppressed trace
+            # pallas guard) except the self-partitioning Cholesky; the key
+            # must distinguish them from a hypothetically identical
+            # unsuppressed trace and cover the partitioned-route switches
             la.pallas_suppress_active(),
+            (kc.use_partitioned_cholesky, kc._partition_interpret),
             n,
         )
 

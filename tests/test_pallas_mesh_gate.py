@@ -1,13 +1,15 @@
-"""Pallas fast paths must not enter mesh-traced programs.
+"""Non-partitionable Pallas fast paths must not enter mesh-traced programs.
 
-XLA's SPMD partitioner has no sharding rule for Pallas custom calls, so a
-program compiled for a multi-device mesh has to stay on the XLA
+XLA's SPMD partitioner has no sharding rule for bare Pallas custom calls, so
+a program compiled for a multi-device mesh has to stay on the XLA
 implementations — whose partitioning the compiled-HLO tests prove
 (tests/test_sharding.py). ``ops.linalg.pallas_suppressed`` is the trace-scope
-switch; the sharded trainer facades and ``sharded_gp_predict`` enter it
+marker; the sharded trainer facades and ``sharded_gp_predict`` enter it
 around every dispatch. These tests pin (a) each gate honours the context and
 (b) the sharded Hensman facade really keeps the fused B-chain out of its
-trace while the plain trainer (same forced flag) uses it.
+trace while the plain trainer (same forced flag) uses it. The one exception
+is the batched Cholesky, which declares its own partitioning rule and stays
+on the kernel inside mesh traces — tests/test_partitioned_cholesky.py.
 """
 
 import jax
@@ -28,7 +30,13 @@ def test_cholesky_gate_honours_suppression(monkeypatch):
     a = jnp.zeros((4, 8, 8), jnp.float32)
     assert kc._use_pallas(a)
     with la.pallas_suppressed():
+        # the Cholesky is self-partitioning: the kernel STAYS on inside mesh
+        # traces (routed through custom_partitioning by _chol_inv_impl)...
+        assert kc._use_pallas(a)
+        # ...unless the partitioned route is switched off
+        monkeypatch.setattr(kc, "use_partitioned_cholesky", False)
         assert not kc._use_pallas(a)
+        monkeypatch.setattr(kc, "use_partitioned_cholesky", True)
     assert kc._use_pallas(a)  # depth restored on exit
 
 
