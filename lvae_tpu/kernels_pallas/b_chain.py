@@ -201,6 +201,121 @@ def _auto_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# --- self-partitioning route for mesh-traced programs ------------------------
+#
+# Same treatment as kernels_pallas/cholesky.py: the partitioner has no
+# sharding rule for a bare Pallas custom call, but the chain is
+# embarrassingly parallel over the latent dim L (kernel params / noise /
+# every output) and the subject dim S (covariate blocks / mask / the B⁻¹
+# stack) — EXCEPT that log|B| and tr(B⁻¹K0) sum over S, so the per-shard
+# lowering finishes with a psum over the mesh axes that shard S.
+# ``jax.experimental.custom_partitioning`` declares exactly that: L and S
+# pass through, every other dim replicates, non-dividing placements drop to
+# replicated. ``_b_chain_impl`` selects this route when a sharded facade's
+# mesh guard is active (``ops.linalg.pallas_suppress_active``); single-chip
+# traces keep the direct call. CPU-mesh equality + local-shard proofs:
+# tests/test_partitioned_b_chain.py.
+
+use_partitioned_b_chain: bool = True
+
+
+def _entry_if_divides(sharding, dim: int, size: int):
+    """The operand's spec entry for ``dim`` if its mesh-axis product divides
+    ``size``, else None (replicated). Ghost-padding a local S shard would be
+    harmless (fully-masked rows factor out of every output) but positional
+    reassembly of the B⁻¹ stack would misplace rows — replicate instead."""
+    spec = tuple(sharding.spec)
+    entry = spec[dim] if dim < len(spec) else None
+    if entry is None:
+        return None
+    names = entry if isinstance(entry, tuple) else (entry,)
+    prod = 1
+    for name in names:
+        prod *= sharding.mesh.shape[name]
+    return entry if size % prod == 0 else None
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_b_chain(spec0, spec1, interpret: bool):
+    """custom_partitioning wrapper, cached per (specs, interpret).
+
+    Shardy rule: L threads the params/noise and all three results, S threads
+    the covariate blocks and the B⁻¹ stack; S is absent from log|B| and
+    tr(B⁻¹K0) (a contraction — the per-shard lower_fn supplies the psum).
+    The matrix/feature dims (t, q, the param counts c/d, and B⁻¹'s second
+    matrix dim u) replicate."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def call(s0, g0, s1, g1, noise, xb, mask):
+        return _b_chain_pallas(
+            spec0, spec1, s0, g0, s1, g1, noise, xb, mask, interpret=interpret
+        )
+
+    fn = custom_partitioning(call)
+
+    def _placements(arg_shapes):
+        l_entry = _entry_if_divides(
+            arg_shapes[0].sharding, 0, arg_shapes[0].shape[0]
+        )
+        s_entry = _entry_if_divides(
+            arg_shapes[5].sharding, 0, arg_shapes[5].shape[0]
+        )
+        return l_entry, s_entry
+
+    def _result_shardings(mesh, l_entry, s_entry):
+        return (
+            NamedSharding(mesh, PartitionSpec(l_entry, s_entry, None, None)),
+            NamedSharding(mesh, PartitionSpec(l_entry)),
+            NamedSharding(mesh, PartitionSpec(l_entry)),
+        )
+
+    def infer_sharding_from_operands(mesh, arg_shapes, shape):
+        return _result_shardings(mesh, *_placements(arg_shapes))
+
+    def partition(mesh, arg_shapes, result_shape):
+        l_entry, s_entry = _placements(arg_shapes)
+        lp = NamedSharding(mesh, PartitionSpec(l_entry, None))
+        arg_sh = (
+            lp, lp, lp, lp,
+            NamedSharding(mesh, PartitionSpec(l_entry)),
+            NamedSharding(mesh, PartitionSpec(s_entry, None, None)),
+            NamedSharding(mesh, PartitionSpec(s_entry, None)),
+        )
+
+        def lower_fn(s0, g0, s1, g1, noise, xb, mask):
+            ib, logdet, tr = call(s0, g0, s1, g1, noise, xb, mask)
+            if s_entry is not None:
+                names = s_entry if isinstance(s_entry, tuple) else (s_entry,)
+                logdet = jax.lax.psum(logdet, names)
+                tr = jax.lax.psum(tr, names)
+            return ib, logdet, tr
+
+        return mesh, lower_fn, _result_shardings(mesh, l_entry, s_entry), arg_sh
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule="l c, l c, l d, l d, l, s t q, s t -> l s t u, l, l",
+        need_replication_factors=("c", "d", "t", "q", "u"),
+    )
+    return fn
+
+
+def _b_chain_impl(spec0, spec1, s0, g0, s1, g1, noise, xb, mask):
+    from lvae_tpu.ops import linalg as la
+
+    if la.pallas_suppress_active() and use_partitioned_b_chain:
+        # mesh-traced program: route through the declared partitioning rule
+        return _partitioned_b_chain(spec0, spec1, _auto_interpret())(
+            s0, g0, s1, g1, noise, xb, mask
+        )
+    return _b_chain_pallas(
+        spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
+        interpret=_auto_interpret(),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def fused_b_chain(spec0, spec1, s0, g0, s1, g1, noise, xb, mask):
     """(B⁻¹ [L,S,T,T], log|B| [L], tr(B⁻¹K0) [L]) from CONSTRAINED params.
@@ -208,17 +323,11 @@ def fused_b_chain(spec0, spec1, s0, g0, s1, g1, noise, xb, mask):
     Differentiable in (s0, g0, s1, g1, noise); covariates/mask are data
     (inducing points and covariates are frozen in every reference regime,
     LVAE.py:199-208)."""
-    return _b_chain_pallas(
-        spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
-        interpret=_auto_interpret(),
-    )
+    return _b_chain_impl(spec0, spec1, s0, g0, s1, g1, noise, xb, mask)
 
 
 def _b_chain_fwd(spec0, spec1, s0, g0, s1, g1, noise, xb, mask):
-    out = _b_chain_pallas(
-        spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
-        interpret=_auto_interpret(),
-    )
+    out = _b_chain_impl(spec0, spec1, s0, g0, s1, g1, noise, xb, mask)
     ib, _, _ = out
     return out, (s0, g0, s1, g1, noise, xb, mask, ib)
 

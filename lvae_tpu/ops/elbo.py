@@ -126,14 +126,18 @@ def gp_block_operators(
         want_bchain = (
             kx.B_CHAIN_AUTO_DEFAULT and jax.default_backend() == "tpu"
         )
-    if want_bchain and la.pallas_suppress_active():
-        # mesh-traced program: stay on the XLA chain (GSPMD cannot partition
-        # the Pallas custom call; see ops/linalg.pallas_suppressed)
-        want_bchain = False
     if want_bchain:
         from lvae_tpu.kernels_pallas import b_chain as bc
 
-        want_bchain = bc.usable(spec0, spec1, kp0, xb, dtype)
+        if la.pallas_suppress_active() and not bc.use_partitioned_b_chain:
+            # mesh-traced program with the self-partitioning route disabled:
+            # the partitioner cannot shard the bare Pallas custom call, pin
+            # the XLA chain (see ops/linalg.pallas_suppressed)
+            want_bchain = False
+        else:
+            # (under a mesh trace the fused call routes through the declared
+            # custom_partitioning rule — kernels_pallas/b_chain.py)
+            want_bchain = bc.usable(spec0, spec1, kp0, xb, dtype)
     if want_bchain:
         ib, logdet_b, tr_ib_k0 = bc.b_chain_operators(
             spec0, spec1, kp0, kp1, noise, xb, mask

@@ -455,6 +455,7 @@ class HensmanTrainer:
         them — two cohorts with identical shapes but different subject
         orderings compile different programs), the optimizer's lr/kind
         (closed over, not a cfg field), and module-global model switches."""
+        from lvae_tpu.kernels_pallas import b_chain as bc
         from lvae_tpu.kernels_pallas import cholesky as kc
         from lvae_tpu.ops import linalg as la
         from lvae_tpu.utils import aot_cache
@@ -480,6 +481,7 @@ class HensmanTrainer:
             # unsuppressed trace and cover the partitioned-route switches
             la.pallas_suppress_active(),
             (kc.use_partitioned_cholesky, kc._partition_interpret),
+            bc.use_partitioned_b_chain,
             n,
         )
 

@@ -7,9 +7,11 @@ implementations — whose partitioning the compiled-HLO tests prove
 marker; the sharded trainer facades and ``sharded_gp_predict`` enter it
 around every dispatch. These tests pin (a) each gate honours the context and
 (b) the sharded Hensman facade really keeps the fused B-chain out of its
-trace while the plain trainer (same forced flag) uses it. The one exception
-is the batched Cholesky, which declares its own partitioning rule and stays
-on the kernel inside mesh traces — tests/test_partitioned_cholesky.py.
+trace while the plain trainer (same forced flag) uses it — with the
+self-partitioning route switched OFF, since the batched Cholesky and the
+fused B-chain now declare their own partitioning rules and by default stay
+on the kernels inside mesh traces (tests/test_partitioned_cholesky.py,
+tests/test_partitioned_b_chain.py).
 """
 
 import jax
@@ -52,7 +54,10 @@ def test_suppression_nests_and_inactive_is_noop():
 
 
 def test_bchain_gate_honours_suppression(monkeypatch):
+    from lvae_tpu.kernels_pallas import b_chain as bc
+
     monkeypatch.setattr(kx, "use_pallas_b_chain", True)
+    monkeypatch.setattr(bc, "use_partitioned_b_chain", False)
     spec0, spec1, kp0, kp1, noise, xb, mask = make_inputs()
     z = np.asarray(xb[:3, 0, :])  # [M, Q] inducing rows
 
@@ -61,7 +66,13 @@ def test_bchain_gate_honours_suppression(monkeypatch):
 
     with la.pallas_suppressed():
         ops_x = eb.gp_block_operators(spec0, spec1, kp0, kp1, noise, xb, z, mask)
-    assert ops_x.tr_iB_K0 is None  # XLA chain pinned
+    assert ops_x.tr_iB_K0 is None  # XLA chain pinned (partitioned route off)
+
+    # with the self-partitioning route ON (default) the fused path stays
+    monkeypatch.setattr(bc, "use_partitioned_b_chain", True)
+    with la.pallas_suppressed():
+        ops_p = eb.gp_block_operators(spec0, spec1, kp0, kp1, noise, xb, z, mask)
+    assert ops_p.tr_iB_K0 is not None
 
     # and it is the same math either way
     np.testing.assert_allclose(
@@ -117,6 +128,10 @@ def test_sharded_hensman_keeps_bchain_out_of_the_trace(monkeypatch):
     from lvae_tpu.parallel.mesh import ShardedHensmanTrainer, make_mesh
 
     monkeypatch.setattr(kx, "use_pallas_b_chain", True)
+    # pin the r2 policy: with the self-partitioning route off, the mesh
+    # trace must fall back to the XLA chain (route-on coverage lives in
+    # tests/test_partitioned_b_chain.py)
+    monkeypatch.setattr(bc, "use_partitioned_b_chain", False)
     calls = []
     orig = bc.b_chain_operators
 
@@ -159,6 +174,7 @@ def test_sharded_vi_prediction_set_suppresses(monkeypatch):
     from tests.test_training import tiny_cohort
 
     monkeypatch.setattr(kx, "use_pallas_b_chain", True)
+    monkeypatch.setattr(bc, "use_partitioned_b_chain", False)
     calls = []
     orig = bc.b_chain_operators
 
