@@ -254,6 +254,9 @@ def _partitioned_b_chain(spec0, spec1, interpret: bool):
 
     fn = custom_partitioning(call)
 
+    def _names(entry):
+        return set(entry if isinstance(entry, tuple) else (entry,))
+
     def _placements(arg_shapes):
         l_entry = _entry_if_divides(
             arg_shapes[0].sharding, 0, arg_shapes[0].shape[0]
@@ -261,6 +264,14 @@ def _partitioned_b_chain(spec0, spec1, interpret: bool):
         s_entry = _entry_if_divides(
             arg_shapes[5].sharding, 0, arg_shapes[5].shape[0]
         )
+        # L comes from the params' sharding, S from the covariates' — if one
+        # mesh axis shards both, P(axis, axis, ...) on the B⁻¹ result would
+        # be invalid; keep L (the bigger win: it threads every output) and
+        # replicate S
+        if l_entry is not None and s_entry is not None and (
+            _names(l_entry) & _names(s_entry)
+        ):
+            s_entry = None
         return l_entry, s_entry
 
     def _result_shardings(mesh, l_entry, s_entry):

@@ -141,14 +141,14 @@ class _ShardedTrainer:
         """Mark every trace dispatched by this facade as a mesh program.
 
         The partitioner has no sharding rule for bare Pallas custom calls, so
-        the non-partitionable fast paths (fused B-chain, kernel builders,
-        fused Adam) must not enter a program compiled for a multi-device
-        mesh — the XLA chain's partitioning is what the compiled-HLO tests
-        prove (tests/test_sharding.py). The batched Cholesky is
-        self-partitioning (custom_partitioning rule in
-        kernels_pallas/cholesky.py) and stays on the kernel, launched
-        per-shard. Tracing happens inside the first dispatch, so the facade
-        enters this context around every compute entry point. Trivial
+        the non-partitionable fast paths (kernel builders, fused Adam) must
+        not enter a program compiled for a multi-device mesh — the XLA
+        chain's partitioning is what the compiled-HLO tests prove
+        (tests/test_sharding.py). The batched Cholesky and the fused B-chain
+        are self-partitioning (custom_partitioning rules in
+        kernels_pallas/{cholesky,b_chain}.py) and stay on the kernels,
+        launched per-shard. Tracing happens inside the first dispatch, so the
+        facade enters this context around every compute entry point. Trivial
         1-device meshes keep the direct Pallas kernels.
 
         The guard deliberately stays active across user callbacks inside

@@ -153,6 +153,82 @@ def test_sharded_hensman_epoch_runs_partitioned_bchain(
     np.testing.assert_allclose(m1.kld, m0.kld, rtol=1e-3)
 
 
+def test_bucketed_sharded_epoch_runs_partitioned_bchain(
+    no_compile_cache, monkeypatch
+):
+    """Composition: ragged bucketed training × mesh sharding × the
+    partitioned fused B-chain. The bucketed epoch program scans one body per
+    bucket at its own static [S, T_bucket] shape; under a mesh trace each
+    bucket's fused chain must route through the partitioning rule at ITS
+    shape, and the trajectory must match the plain bucketed trainer's."""
+    from lvae_tpu.data import blocks as bk
+    from lvae_tpu.parallel.mesh import ShardedHensmanTrainer
+    from tests.test_buckets import _make_trainer, ragged_cohort
+
+    ds = ragged_cohort()
+    blocks = bk.build_subject_blocks(ds.labels, id_covariate=2)
+
+    plain = _make_trainer(ds, blocks, t_buckets=2)
+    assert len(plain.tables) == 2, "fixture no longer ragged-bucketed"
+    m0 = [plain.run_epoch() for _ in range(2)]
+
+    monkeypatch.setattr(kx, "use_pallas_b_chain", True)
+    jax.clear_caches()
+    t_dims = []
+    orig = bc._b_chain_pallas
+
+    def spy(spec0, spec1, s0, g0, s1, g1, noise, xb, mask, interpret=False):
+        t_dims.append(xb.shape[1])
+        return orig(spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
+                    interpret=interpret)
+
+    monkeypatch.setattr(bc, "_b_chain_pallas", spy)
+    sharded = ShardedHensmanTrainer(
+        _make_trainer(ds, blocks, t_buckets=2), make_mesh(2, 1)
+    )
+    m1 = [sharded.run_epoch() for _ in range(2)]
+
+    # both bucket programs (T=3 and T=8 caps) reached the partitioned kernel
+    assert set(t_dims) == {3, 8}, t_dims
+    for a, b in zip(m0, m1):
+        np.testing.assert_allclose(b.net, a.net, rtol=1e-3)
+        np.testing.assert_allclose(b.kld, a.kld, rtol=1e-3)
+
+
+def test_same_axis_on_l_and_s_stays_valid():
+    """If one mesh axis shards BOTH the params' L and the covariates' S,
+    P(axis, axis, ...) on the B⁻¹ result would be invalid. Shardy resolves
+    the factor conflict itself (one dim per output keeps the axis); the
+    `_placements` guard keeps the partition callbacks consistent for the
+    GSPMD fallback. Pin: values unchanged, no axis used twice in any
+    output spec."""
+    mesh = make_mesh(2, 1)
+    spec0, spec1, kp0, kp1, noise, xb, mask = make_inputs(s=8, t=4, latent=4, seed=5)
+    ib0, ld0, tr0 = xla_reference(spec0, spec1, kp0, kp1, noise, xb, mask)
+
+    lat2 = NamedSharding(mesh, P("data", None))  # 'data' shards L...
+    kp0s = jax.tree.map(lambda a: jax.device_put(a, lat2), kp0)
+    kp1s = jax.tree.map(lambda a: jax.device_put(a, lat2), kp1)
+    ns = jax.device_put(noise, NamedSharding(mesh, P("data")))
+    xbs = jax.device_put(xb, NamedSharding(mesh, P("data", None, None)))  # ...and S
+    ms = jax.device_put(mask, NamedSharding(mesh, P("data", None)))
+
+    fn = jax.jit(functools.partial(bc.b_chain_operators, spec0, spec1))
+    with mesh, la.pallas_suppressed():
+        ib1, ld1, tr1 = fn(kp0s, kp1s, ns, xbs, ms)
+    np.testing.assert_allclose(np.asarray(ib1), np.asarray(ib0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ld1), np.asarray(ld0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tr1), np.asarray(tr0), rtol=2e-5, atol=2e-5)
+    for out in (ib1, ld1, tr1):
+        used = [
+            n
+            for e in out.sharding.spec
+            if e is not None
+            for n in (e if isinstance(e, tuple) else (e,))
+        ]
+        assert len(used) == len(set(used)), out.sharding.spec
+
+
 def test_divisibility_guard_replicates_unaligned_dims():
     mesh = make_mesh(4, 2)
     sh = NamedSharding(mesh, P("data", None, None))
