@@ -108,8 +108,14 @@ def test_lowering_sees_local_shards(monkeypatch, no_compile_cache):
 def test_sharded_hensman_epoch_runs_partitioned_kernel(monkeypatch, no_compile_cache):
     """End-to-end: the mesh-traced Hensman epoch keeps the Cholesky kernel
     (per-shard, interpret) and reproduces the plain XLA trainer's metrics."""
+    import lvae_tpu.ops.kernels as kx
     from lvae_tpu.parallel.mesh import ShardedHensmanTrainer
     from tests.test_pallas_mesh_gate import _tiny_hensman
+
+    # pin the fused B-chain OFF: under LVAE_BCHAIN=1 the [L,S,T,T] B blocks
+    # route through kernels_pallas/b_chain.py and never reach this kernel
+    # (that composition is tests/test_partitioned_b_chain.py's job)
+    monkeypatch.setattr(kx, "use_pallas_b_chain", False)
 
     plain = _tiny_hensman()
     m0 = plain.run_epoch()
