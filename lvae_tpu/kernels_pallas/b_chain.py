@@ -18,8 +18,10 @@ Autodiff: custom VJP in plain jnp — d(B⁻¹) = −B⁻¹ Ḡ B⁻¹, d log|B|
 d tr(B⁻¹K0) = (−B⁻¹K0B⁻¹ w.r.t. B, B⁻¹ w.r.t. K0) — then the shared
 ``block_param_grads`` maps the K-stack cotangents to (scale, 1/2ℓ²) params.
 
-Default OFF (``ops.kernels.use_pallas_b_chain``) pending an on-chip A/B;
-forced on (interpreter) in tests/test_b_chain.py.
+Default ON for the TPU backend (``ops.kernels.B_CHAIN_AUTO_DEFAULT``) by the
+measured on-chip A/B — 13.79 vs 14.62 ms/epoch device on the flagship
+Hensman config (benchmarks/README.md "fast-path A/B"); forced on
+(interpreter) in tests/test_b_chain.py.
 """
 
 from __future__ import annotations

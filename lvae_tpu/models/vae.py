@@ -84,9 +84,14 @@ elif _s2d_env not in ("", "auto"):
     )
 
 
-# what 'auto' (None) resolves to on the TPU backend. False until the
-# formulation is driven + A/B-measured on the real chip; flip to True with
-# the measurement recorded in benchmarks/README.md.
+# what 'auto' (None) resolves to on the TPU backend. OFF by measurement:
+# the on-chip A/B (tools/ab_fastpaths.py, TPU v5e, 2026-08-19) found the
+# s2d formulation SLOWER on the flagship Hensman epoch — 16.97 ms device vs
+# 14.62 ms baseline (and 16.24 vs 13.79 with the fused B-chain on): the
+# rearranged conv2/deconv FLOPs (99→216 G modeled) cost more than the
+# select-and-scatter pool backward they remove. Kept as an opt-in
+# (LVAE_S2D=1) for conv-dominated workloads; numbers in
+# benchmarks/README.md "fast-path A/B".
 S2D_AUTO_DEFAULT: bool = False
 
 

@@ -119,8 +119,8 @@ def gp_block_operators(
 
     # Fused B-chain: one Pallas kernel computes K0/K1 blocks → B → chol →
     # B⁻¹ → log|B| → tr(B⁻¹K0) and emits only the last three — the stacks
-    # never round-trip HBM (kernels_pallas/b_chain.py; gated off pending the
-    # on-chip A/B).
+    # never round-trip HBM (kernels_pallas/b_chain.py; default-on for TPU by
+    # the measured on-chip A/B — benchmarks/README.md "fast-path A/B").
     want_bchain = kx.use_pallas_b_chain
     if want_bchain is None:
         want_bchain = (

@@ -55,8 +55,8 @@ use_pallas_kernel_matrix: bool = True
 use_pallas_block_pair: bool = False
 # Fused B-operator chain (kernels_pallas/b_chain.py): block builds + B
 # assembly + Cholesky + inverse + log|B| + tr(B⁻¹K0) in ONE kernel.
-# Tri-state: None = auto (currently off — pending on-chip A/B), True/False
-# force. Env override LVAE_BCHAIN=1/0/auto for A/B without source edits.
+# Tri-state: None = auto (on for TPU — measured win, see B_CHAIN_AUTO_DEFAULT),
+# True/False force. Env override LVAE_BCHAIN=1/0/auto for A/B without edits.
 use_pallas_b_chain = None
 _bchain_env = os.environ.get("LVAE_BCHAIN", "").strip().lower()
 if _bchain_env in ("1", "true", "on", "yes"):
@@ -68,8 +68,13 @@ elif _bchain_env not in ("", "auto"):
         f"LVAE_BCHAIN={os.environ['LVAE_BCHAIN']!r}: expected "
         "1/0/true/false/on/off/yes/no/auto"
     )
-# what 'auto' resolves to (flips after a measured win on the target chip)
-B_CHAIN_AUTO_DEFAULT: bool = False
+# what 'auto' resolves to. ON: the on-chip A/B (tools/ab_fastpaths.py,
+# TPU v5e, 2026-08-19) measured the fused chain at 13.79 ms/epoch device vs
+# 14.62 ms for the XLA chain on the flagship Hensman config (~6% win;
+# benchmarks/README.md "fast-path A/B"). CPU/mesh traces are unaffected
+# (the gate requires the TPU backend; mesh programs use the
+# custom_partitioning route or pallas_suppressed()).
+B_CHAIN_AUTO_DEFAULT: bool = True
 
 
 class KernelComponent(NamedTuple):
