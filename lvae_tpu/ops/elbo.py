@@ -26,6 +26,7 @@ Masking correctness (why padding is exact):
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -33,6 +34,25 @@ import jax.numpy as jnp
 
 from lvae_tpu.ops import kernels as kx
 from lvae_tpu.ops import linalg as la
+
+# Stack the step's two independent [L, M, M] SPD factorisations (jittered
+# K0zz and the variational H) into ONE cholesky_and_inverse call. The
+# lane-parallel Pallas kernel computes each matrix in its own lanes, so the
+# per-matrix results are identical to separate calls — only the op count
+# changes (the measured epoch is op-latency-bound: the three M×M Pallas
+# Cholesky custom calls are ~13% of device time and L=32 fills only a
+# quarter of the 128 lanes each). Env override LVAE_STACK_CHOL=0/1 for A/B.
+use_stacked_mm_chol: bool = True
+_stack_env = os.environ.get("LVAE_STACK_CHOL", "").strip().lower()
+if _stack_env in ("1", "true", "on", "yes"):
+    use_stacked_mm_chol = True
+elif _stack_env in ("0", "false", "off", "no"):
+    use_stacked_mm_chol = False
+elif _stack_env not in ("", "auto"):
+    raise ValueError(
+        f"LVAE_STACK_CHOL={os.environ['LVAE_STACK_CHOL']!r}: expected "
+        "1/0/true/false/on/off/yes/no/auto"
+    )
 
 
 def _full_precision(fn):
@@ -77,6 +97,11 @@ class GPBlockOperators(NamedTuple):
     # Pallas B-chain (kernels_pallas/b_chain.py), where the K0/B/chol stacks
     # never leave the kernel; None on the XLA path
     tr_iB_K0: Optional[jax.Array] = None
+    # factorisation of the caller-supplied ``extra_spd`` stack (the Hensman
+    # step's variational H), computed in the SAME cholesky_and_inverse call
+    # as K0zz (``use_stacked_mm_chol``); None when no extra stack was given
+    extra_chol: Optional[jax.Array] = None  # [L, M, M]
+    extra_inv: Optional[jax.Array] = None  # [L, M, M]
 
 
 @_full_precision
@@ -90,6 +115,7 @@ def gp_block_operators(
     z: jax.Array,
     mask: Optional[jax.Array] = None,
     eps: float = 1e-6,
+    extra_spd: Optional[jax.Array] = None,
 ) -> GPBlockOperators:
     """Build the kernel operators shared by every bound.
 
@@ -99,6 +125,12 @@ def gp_block_operators(
     ``noise`` is the per-latent-dim likelihood noise ``[L]`` (already
     constrained positive). ``z`` is ``[M, Q]`` (inducing points are shared
     across latent dims, as the reference initialises them, LVAE.py:199-204).
+
+    ``extra_spd`` (optional, ``[L, M, M]`` SPD, e.g. the Hensman step's
+    variational H) is factorised in the SAME batched call as K0zz
+    (lane-stacked; per-matrix results identical to a separate call) and
+    returned as ``(extra_chol, extra_inv)`` — one custom call instead of two
+    on the op-latency-bound TPU step.
     """
     p, t, q = xb.shape
     m_ind = z.shape[0]
@@ -115,7 +147,17 @@ def gp_block_operators(
     k0xz = k0xz_flat.reshape(l, p, t, m_ind)
 
     k0zz = kx.add_adaptive_jitter(kx.kernel_matrix(spec0, kp0, z, z), eps)
-    lk0zz, ik0zz = la.cholesky_and_inverse(k0zz)
+    extra_chol = extra_inv = None
+    if extra_spd is not None and extra_spd.shape == k0zz.shape:
+        l_lat = k0zz.shape[0]
+        stacked = jnp.concatenate([k0zz, extra_spd.astype(k0zz.dtype)], axis=0)
+        l_all, i_all = la.cholesky_and_inverse(stacked)
+        lk0zz, ik0zz = l_all[:l_lat], i_all[:l_lat]
+        extra_chol, extra_inv = l_all[l_lat:], i_all[l_lat:]
+    else:
+        lk0zz, ik0zz = la.cholesky_and_inverse(k0zz)
+        if extra_spd is not None:  # shape mismatch: factor separately
+            extra_chol, extra_inv = la.cholesky_and_inverse(extra_spd)
 
     # Fused B-chain: one Pallas kernel computes K0/K1 blocks → B → chol →
     # B⁻¹ → log|B| → tr(B⁻¹K0) and emits only the last three — the stacks
@@ -187,6 +229,8 @@ def gp_block_operators(
         logdet_K0zz=la.logdet_from_chol(lk0zz, batch_dims=1),
         mask=mask,
         tr_iB_K0=tr_ib_k0,
+        extra_chol=extra_chol,
+        extra_inv=extra_inv,
     )
 
 
@@ -328,6 +372,7 @@ def minibatch_kld(
     P_batch: jax.Array,
     N_tot: jax.Array,
     natural_gradient: bool = False,
+    H_factor: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, Optional[NaturalGradients]]:
     """Unbiased SVI estimate of the KL upper bound (Hensman training).
 
@@ -340,6 +385,11 @@ def minibatch_kld(
     gradients w.r.t. m and H (elbo_functions.py:207-214) — equal to
     ``∂ kld_batch/∂{m,H}`` *without* the P_tot/P_batch rescaling, exactly as
     the reference computes them.
+
+    ``H_factor`` — optional precomputed ``(chol(H), H⁻¹)``: pass
+    ``(ops.extra_chol, ops.extra_inv)`` when ``H`` was handed to
+    :func:`gp_block_operators` as ``extra_spd`` so the step factorises both
+    M×M stacks in one call (identical values either way).
     """
     mask = ops.mask
     latent_dim = ops.K0xz.shape[0]
@@ -350,7 +400,10 @@ def minibatch_kld(
     v = (jnp.exp(log_var_b) * mask[..., None]).transpose(2, 0, 1)
     log_v_masked = (log_var_b * mask[..., None]).transpose(2, 0, 1)
 
-    lh, ih = la.cholesky_and_inverse(H)
+    if H_factor is not None:
+        lh, ih = H_factor
+    else:
+        lh, ih = la.cholesky_and_inverse(H)
 
     ik0zz_m = ops.iK0zz @ m  # [L, M, 1]
     r = jnp.einsum("lptm,lm->lpt", ops.K0xz, ik0zz_m[..., 0]) - mu

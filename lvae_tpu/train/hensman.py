@@ -29,6 +29,7 @@ import optax
 from lvae_tpu.models import vae as mv
 from lvae_tpu.ops import elbo as eb
 from lvae_tpu.ops import kernels as kx
+from lvae_tpu.ops import linalg as la
 from lvae_tpu.train import state as st
 
 
@@ -148,20 +149,41 @@ def batch_loss(
         bmask = cst(bmask, P("data", None))
         mu_b0 = cst(mu_b0, P("data", None, None))
         lv_b0 = cst(lv_b0, P("data", None, None))
-    ops = eb.gp_block_operators(
-        cfg.spec0, cfg.spec1, gp.kp0, gp.kp1, noise, xb, z_pts,
-        mask=bmask, eps=cfg.eps,
-    )
     if cfg.natural_gradient:
         m_var, psd_h = m_nat, H_nat
     else:
         m_var = trainables.m
         psd_h = st.psd_from_factor(trainables.h_factor)
 
+    # hand H to the operator build so K0zz and H factorise in ONE stacked
+    # cholesky_and_inverse call (ops/elbo.use_stacked_mm_chol; identical
+    # per-matrix values — the measured epoch is op-latency-bound). Multi-
+    # device mesh programs keep the separate calls: the [2L, M, M] stack's
+    # local shard would muddy the compiled-HLO partition proofs
+    # (tests/test_sharding.py) and the win is a single-chip
+    # custom-call-count effect.
+    multi_device = mesh is not None and mesh.size > 1
+    extra_spd = (
+        psd_h
+        if eb.use_stacked_mm_chol
+        and not multi_device
+        and not la.pallas_suppress_active()
+        else None
+    )
+    ops = eb.gp_block_operators(
+        cfg.spec0, cfg.spec1, gp.kp0, gp.kp1, noise, xb, z_pts,
+        mask=bmask, eps=cfg.eps, extra_spd=extra_spd,
+    )
+
     kld, ng = eb.minibatch_kld(
         ops, m_var, psd_h, mu_b0, lv_b0,
         P_tot=cfg.P_tot, P_batch=p_batch, N_tot=cfg.N_tot,
         natural_gradient=cfg.natural_gradient,
+        H_factor=(
+            (ops.extra_chol, ops.extra_inv)
+            if ops.extra_chol is not None
+            else None
+        ),
     )
 
     scale = cfg.P_tot / p_batch.astype(recon_loss.dtype)
@@ -482,6 +504,7 @@ class HensmanTrainer:
             la.pallas_suppress_active(),
             (kc.use_partitioned_cholesky, kc._partition_interpret),
             bc.use_partitioned_b_chain,
+            eb.use_stacked_mm_chol,
             n,
         )
 

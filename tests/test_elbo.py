@@ -330,3 +330,80 @@ def test_fixed_t_equals_ragged_path_when_lengths_equal():
     a = np.asarray(eb.dubo(ops_masked, pr["mu_b"], pr["lv_b"]))
     b = np.asarray(eb.dubo(ops_plain, pr["mu_b"], pr["lv_b"]))
     np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+@pytest.mark.parametrize("natural_gradient", [False, True])
+def test_stacked_mm_chol_equals_separate(natural_gradient):
+    """The stacked K0zz+H factorisation (one cholesky_and_inverse call,
+    ops/elbo.use_stacked_mm_chol) must reproduce the separate-call path:
+    same bound, same natural gradients, same autodiff gradients."""
+    rng = np.random.default_rng(11)
+    pr = make_problem(rng, ragged=True)
+    L, M = pr["L"], pr["M"]
+    m = jnp.asarray(rng.normal(size=(L, M, 1)))
+    h_half = rng.normal(size=(L, M, M)) / np.sqrt(M)
+    H = jnp.asarray(h_half @ np.swapaxes(h_half, -1, -2) + 0.5 * np.eye(M))
+
+    def kld_and_ng(kp0, kp1, H_, stacked: bool):
+        ops = eb.gp_block_operators(
+            pr["spec0"], pr["spec1"], kp0, kp1, pr["noise"],
+            pr["xb"], pr["z"], pr["mask"], eps=EPS,
+            extra_spd=H_ if stacked else None,
+        )
+        hf = (
+            (ops.extra_chol, ops.extra_inv)
+            if ops.extra_chol is not None
+            else None
+        )
+        return eb.minibatch_kld(
+            ops, m, H_, pr["mu_b"], pr["lv_b"],
+            P_tot=10.0, P_batch=float(pr["P"]), N_tot=25.0,
+            natural_gradient=natural_gradient, H_factor=hf,
+        )
+
+    got, ng_got = kld_and_ng(pr["kp0"], pr["kp1"], H, True)
+    want, ng_want = kld_and_ng(pr["kp0"], pr["kp1"], H, False)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-12)
+    if natural_gradient:
+        np.testing.assert_allclose(
+            np.asarray(ng_got.grad_m), np.asarray(ng_want.grad_m), rtol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(ng_got.grad_H), np.asarray(ng_want.grad_H), rtol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(ng_got.iH), np.asarray(ng_want.iH), rtol=1e-10
+        )
+
+    # autodiff gradients w.r.t. kernel params AND H agree between the paths
+    for stacked in (True, False):
+        g = jax.grad(
+            lambda args: kld_and_ng(args[0], args[1], args[2], stacked)[0]
+        )((pr["kp0"], pr["kp1"], H))
+        if stacked:
+            g_stacked = g
+        else:
+            g_sep = g
+    for a, b in zip(jax.tree.leaves(g_stacked), jax.tree.leaves(g_sep)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12)
+
+
+def test_stacked_mm_chol_shape_mismatch_falls_back():
+    """An extra_spd whose shape differs from K0zz is factorised separately
+    (no stacking) but still returned — the gate must not silently drop it."""
+    rng = np.random.default_rng(12)
+    pr = make_problem(rng, ragged=False)
+    L, M = pr["L"], pr["M"]
+    other = jnp.asarray(
+        np.eye(M + 2)[None] * (1.0 + rng.uniform(size=(L, 1, 1)))
+    )
+    ops = eb.gp_block_operators(
+        pr["spec0"], pr["spec1"], pr["kp0"], pr["kp1"], pr["noise"],
+        pr["xb"], pr["z"], pr["mask"], eps=EPS, extra_spd=other,
+    )
+    assert ops.extra_chol is not None and ops.extra_chol.shape == other.shape
+    want_l = np.linalg.cholesky(np.asarray(other))
+    np.testing.assert_allclose(np.asarray(ops.extra_chol), want_l, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(ops.extra_inv), np.linalg.inv(np.asarray(other)), rtol=1e-8
+    )

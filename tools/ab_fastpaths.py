@@ -30,6 +30,16 @@ ARMS = {
     "s2d": {"LVAE_S2D": "1", "LVAE_BCHAIN": "0"},
     "bchain": {"LVAE_S2D": "0", "LVAE_BCHAIN": "1"},
     "both": {"LVAE_S2D": "1", "LVAE_BCHAIN": "1"},
+    # measured defaults (bchain auto-on for TPU), no overrides — the control
+    # for numerics-changing arms like bf16
+    "default": {},
+    # bfloat16 VAE compute (params stay f32, GP algebra stays f32 — the
+    # encodings upcast before the GP posterior): the conv stack dominates the
+    # measured epoch, so this is the one untested dtype lever
+    "bf16": {"BENCH_MODEL_DTYPE": "bfloat16"},
+    # stacked K0zz+H factorisation OFF (ops/elbo.use_stacked_mm_chol):
+    # isolates the one-fewer-custom-call effect vs the "default" arm
+    "nostack": {"LVAE_STACK_CHOL": "0"},
 }
 
 
