@@ -381,7 +381,13 @@ def add_adaptive_jitter(kzz: jax.Array, eps: float) -> jax.Array:
     m = kzz.shape[-1]
     dtype = kzz.dtype
     if dtype == jnp.float32:
-        diag_mean = jnp.mean(jnp.diagonal(kzz, axis1=-2, axis2=-1))
+        # eye-masked diag mean: jnp.diagonal's VJP is a scatter-add into a
+        # fresh [L,M,M] cotangent (this sits in the kernel-hyperparameter
+        # gradient path every training step); the masked sum back-propagates
+        # as a fused elementwise multiply. Same value — the off-diagonal
+        # summands are exact zeros.
+        eye = jnp.eye(m, dtype=dtype)
+        diag_mean = jnp.sum(kzz * eye) / (kzz.size // m)
         eps_eff = jnp.maximum(jnp.asarray(eps, dtype), 3e-4 * diag_mean)
     else:
         eps_eff = jnp.asarray(eps, dtype)
@@ -401,8 +407,10 @@ def add_rel_jitter(h: jax.Array, rel: float = 3e-4) -> jax.Array:
     if h.dtype != jnp.float32:
         return h
     m = h.shape[-1]
-    diag_mean = jnp.mean(jnp.diagonal(h, axis1=-2, axis2=-1))
-    return h + (rel * diag_mean) * jnp.eye(m, dtype=h.dtype)
+    eye = jnp.eye(m, dtype=h.dtype)
+    # eye-masked diag mean — scatter-free VJP, see add_adaptive_jitter
+    diag_mean = jnp.sum(h * eye) / (h.size // m)
+    return h + (rel * diag_mean) * eye
 
 
 def block_b_operator(

@@ -52,7 +52,15 @@ def chol_inverse(chol_l: jax.Array) -> jax.Array:
 
 
 def logdet_from_chol(chol_l: jax.Array, batch_dims: int = 0) -> jax.Array:
-    """``log det A = 2 sum log diag L``, summed over all but ``batch_dims`` axes."""
+    """``log det A = 2 sum log diag L``, summed over all but ``batch_dims`` axes.
+
+    Kept on ``jnp.diagonal`` deliberately: an eye-masked double-where form
+    (which avoids the diagonal VJP's scatter-add) was A/B'd on-chip and ran
+    SLOWER — it evaluates ``log`` on every matrix entry (~60× the
+    transcendental work on the VPU) to save a sub-MB scatter. The big
+    diagonal-scatter win lives in the [L,P,T,T] ``b_term`` of
+    ops/elbo.minibatch_kld, which uses the eye-mask form.
+    """
     d = jnp.diagonal(chol_l, axis1=-2, axis2=-1)
     axes = tuple(range(batch_dims, d.ndim))
     return 2.0 * jnp.sum(jnp.log(d), axis=axes)
