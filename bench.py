@@ -414,7 +414,10 @@ def _bench_digest():
     env = sorted(
         (k, v) for k, v in os.environ.items()
         if (k.startswith("BENCH_") and k != "BENCH_NO_PROBE")
-        or k in ("LVAE_OPT", "LVAE_S2D", "LVAE_BCHAIN")  # module switches
+        or k in (  # module switches
+            "LVAE_OPT", "LVAE_S2D", "LVAE_BCHAIN", "LVAE_STACK_CHOL",
+            "LVAE_PREGATHER",
+        )
     )
     h.update(repr(env).encode())
     return h.hexdigest()

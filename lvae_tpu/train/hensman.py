@@ -19,6 +19,7 @@ TPU-native rebuild of the reference's primary regime, ``hensman_training``
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -31,6 +32,44 @@ from lvae_tpu.ops import elbo as eb
 from lvae_tpu.ops import kernels as kx
 from lvae_tpu.ops import linalg as la
 from lvae_tpu.train import state as st
+
+# Pre-gather each epoch's shuffled batches ONCE: three whole-table takes at
+# the top of the epoch build [n_batches, S·T, ...] stacks that the batch scan
+# consumes as xs (lax.scan slices each step's block with a dynamic-slice),
+# replacing three per-step jnp.take gathers plus the layout copies XLA
+# inserted between the row-major gather outputs and the conv path's NHWC
+# tiling (~12 ms of the 329 ms measured 25-epoch chunk,
+# tools/measure_roofline.py r3). Values match exactly: gathering the permuted
+# cohort then slicing batch i ≡ gathering batch i's rows (conv metrics may
+# differ by reduction reassociation only). MEASURED NEGATIVE on the v5e
+# flagship epoch (tools/ab_fastpaths.py --arms nopregather,pregather,
+# 2026-08-19): 14.58 vs 13.15 ms device, measured HBM 1.54 → 2.02 GB/epoch —
+# the epoch-wide xs stacks round-trip HBM (written by the gathers, re-read by
+# the scan) while per-step gather outputs feed the conv directly; the copy
+# elimination doesn't pay for the extra traffic. Default stays OFF; kept as
+# an opt-in (LVAE_PREGATHER=1) for gather-bound workloads. Multi-device mesh
+# traces always keep the per-step gathers (the epoch-wide stacks would need
+# their own data-axis placements and would muddy the compiled-HLO partition
+# proofs, tests/test_sharding.py).
+use_epoch_pregather: Optional[bool] = None
+PREGATHER_AUTO_DEFAULT = False  # by the measured on-chip A/B above
+_pg_env = os.environ.get("LVAE_PREGATHER", "").strip().lower()
+if _pg_env in ("1", "true", "on"):
+    use_epoch_pregather = True
+elif _pg_env in ("0", "false", "off"):
+    use_epoch_pregather = False
+elif _pg_env:
+    raise ValueError(
+        f"LVAE_PREGATHER={os.environ['LVAE_PREGATHER']!r}: expected 0/1"
+    )
+
+
+def _pregather_active(mesh) -> bool:
+    if mesh is not None and mesh.size > 1:
+        return False
+    if use_epoch_pregather is not None:
+        return use_epoch_pregather
+    return PREGATHER_AUTO_DEFAULT
 
 
 class HensmanConfig(NamedTuple):
@@ -92,6 +131,7 @@ def batch_loss(
     p_batch: jax.Array,  # scalar
     rng: jax.Array,
     mesh=None,
+    pre: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, Tuple[StepMetrics, Optional[eb.NaturalGradients]]]:
     """Net loss of one subject batch (training.py:103-124 semantics).
 
@@ -104,10 +144,15 @@ def batch_loss(
     tests/test_sharding.py.
     """
     s, t = idx.shape
-    flat_idx = idx.reshape(-1)
-    x = jnp.take(tdata.data, flat_idx, axis=0)
-    labels = jnp.take(tdata.labels, flat_idx, axis=0)
-    pixmask = jnp.take(tdata.pixmask, flat_idx, axis=0)
+    if pre is None:
+        flat_idx = idx.reshape(-1)
+        x = jnp.take(tdata.data, flat_idx, axis=0)
+        labels = jnp.take(tdata.labels, flat_idx, axis=0)
+        pixmask = jnp.take(tdata.pixmask, flat_idx, axis=0)
+    else:
+        # epoch pre-gather (``use_epoch_pregather``): the scan already sliced
+        # this batch's rows out of the whole-epoch stacks — same values
+        x, labels, pixmask = pre
     valid = bmask.reshape(-1)
 
     k_drop, k_sample = jax.random.split(rng)
@@ -230,12 +275,18 @@ def make_epochs_fn(
 
     @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
     def epochs_fn(state, tdata, n_epochs: int):
-        def make_step(table):
+        def make_step(table, pregather: bool):
             p_real = table.num_real
 
-            def step(state, order_rows):
-                b_idx = jnp.take(table.index, order_rows, axis=0)
-                b_mask = jnp.take(table.mask, order_rows, axis=0)
+            def step(state, xs):
+                if pregather:
+                    order_rows, b_idx, b_mask, x, labels, pixmask = xs
+                    pre = (x, labels, pixmask)
+                else:
+                    order_rows = xs
+                    b_idx = jnp.take(table.index, order_rows, axis=0)
+                    b_mask = jnp.take(table.mask, order_rows, axis=0)
+                    pre = None
                 p_batch = jnp.sum(order_rows < p_real).astype(b_mask.dtype)
                 rng, step_key = jax.random.split(state.rng)
 
@@ -243,6 +294,7 @@ def make_epochs_fn(
                     lambda tr: batch_loss(
                         model, cfg, tr, state.m_nat, state.H_nat,
                         tdata, b_idx, b_mask, p_batch, step_key, mesh=mesh,
+                        pre=pre,
                     ),
                     has_aux=True,
                 )
@@ -269,6 +321,8 @@ def make_epochs_fn(
 
             return step
 
+        pregather = _pregather_active(mesh)
+
         def one_epoch(state, _):
             bucket_ms = []
             for table in tables:
@@ -283,7 +337,28 @@ def make_epochs_fn(
                         [perm, jnp.arange(p_real, p_pad, dtype=perm.dtype)]
                     )
                 order = perm.reshape(n_batches, s)
-                state, ms = jax.lax.scan(make_step(table), state, order)
+                if pregather:
+                    t_dim = table.index.shape[1]
+                    rows = jnp.take(table.index, perm, axis=0)  # [P_pad, T]
+                    bmask_all = jnp.take(table.mask, perm, axis=0)
+                    flat = rows.reshape(-1)
+                    xs = (
+                        order,
+                        rows.reshape(n_batches, s, t_dim),
+                        bmask_all.reshape(n_batches, s, t_dim),
+                        jnp.take(tdata.data, flat, axis=0).reshape(
+                            (n_batches, s * t_dim) + tdata.data.shape[1:]
+                        ),
+                        jnp.take(tdata.labels, flat, axis=0).reshape(
+                            n_batches, s * t_dim, tdata.labels.shape[-1]
+                        ),
+                        jnp.take(tdata.pixmask, flat, axis=0).reshape(
+                            (n_batches, s * t_dim) + tdata.pixmask.shape[1:]
+                        ),
+                    )
+                else:
+                    xs = order
+                state, ms = jax.lax.scan(make_step(table, pregather), state, xs)
                 bucket_ms.append(ms)
             # epoch metric = mean over ALL batches of the epoch (bucketed or
             # not) — the reference averages its per-batch losses uniformly
@@ -505,6 +580,7 @@ class HensmanTrainer:
             (kc.use_partitioned_cholesky, kc._partition_interpret),
             bc.use_partitioned_b_chain,
             eb.use_stacked_mm_chol,
+            (use_epoch_pregather, PREGATHER_AUTO_DEFAULT),
             n,
         )
 

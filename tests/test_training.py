@@ -298,3 +298,65 @@ def test_frozen_inducing_points_by_default():
     trainer.run_epochs(3)
     assert trainer.state.trainables.z is None
     np.testing.assert_array_equal(np.asarray(trainer.tdata.z), z0)
+
+
+@pytest.mark.parametrize("conv,t_buckets", [(False, 1), (True, 1), (False, 2)])
+def test_epoch_pregather_matches_per_step_gathers(monkeypatch, conv, t_buckets):
+    """use_epoch_pregather feeds the batch scan pre-gathered xs stacks; the
+    trajectory must match the per-step jnp.take path: the gathered rows are
+    the same values. Flat/bucketed paths are bit-identical; the conv path is
+    allowed reassociation-level noise (XLA re-orders the image-loss
+    reductions over the differently-laid-out batch). Covers flat + conv
+    models and the bucketed ragged path."""
+    def run(flag):
+        monkeypatch.setattr(th, "use_epoch_pregather", flag)
+        ds = tiny_cohort(p=6, t=4, conv=conv)
+        labels = ds.labels
+        if t_buckets > 1:
+            # ragged: drop the tail rows of half the subjects
+            keep = np.ones(len(labels), bool)
+            for s in range(0, 6, 2):
+                keep[(labels[:, 2] == s) & (labels[:, 0] >= 2)] = False
+            ds = ArrayDataset(
+                data=ds.data[keep], labels=labels[keep], mask=ds.mask[keep]
+            )
+        blocks = build_subject_blocks(ds.labels, id_covariate=2)
+        cfg = make_cfg(True, p=6, t=4)._replace(N_tot=len(ds.labels))
+        if conv:
+            model = mv.ConvVAE(latent_dim=cfg.latent_dim)
+        else:
+            model = mv.SimpleVAE(latent_dim=cfg.latent_dim, num_dim=ds.data.shape[-1])
+        z = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+        trainer = th.HensmanTrainer(
+            model, cfg, ds, blocks, z, subjects_per_batch=3, seed=0,
+            t_buckets=t_buckets,
+        )
+        ms = trainer.run_epochs(3)
+        return ms, jax.tree.map(np.asarray, trainer.state.trainables)
+
+    ms_a, tr_a = run(False)
+    ms_b, tr_b = run(True)
+    if conv:
+        for a, b in zip(ms_a, ms_b):
+            np.testing.assert_allclose(
+                np.asarray(tuple(a)), np.asarray(tuple(b)), rtol=1e-4
+            )
+        jax.tree.map(
+            lambda x, y: np.testing.assert_allclose(x, y, rtol=1e-3, atol=1e-6),
+            tr_a, tr_b,
+        )
+    else:
+        for a, b in zip(ms_a, ms_b):
+            assert a == b, (a, b)
+        jax.tree.map(np.testing.assert_array_equal, tr_a, tr_b)
+
+
+def test_pregather_auto_off_on_multi_device_mesh():
+    """Mesh-traced epoch programs keep the per-step gathers (HLO partition
+    proofs in tests/test_sharding.py rely on that trace)."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:2]).reshape(2, 1)
+    mesh = Mesh(devs, ("data", "latent"))
+    assert th._pregather_active(mesh) is False
+    assert th._pregather_active(None) in (True, False)  # resolves, no crash

@@ -40,6 +40,11 @@ ARMS = {
     # stacked K0zz+H factorisation OFF (ops/elbo.use_stacked_mm_chol):
     # isolates the one-fewer-custom-call effect vs the "default" arm
     "nostack": {"LVAE_STACK_CHOL": "0"},
+    # epoch pre-gather (train/hensman.use_epoch_pregather): whole-table takes
+    # once per epoch + scan-xs slices, replacing 3 per-step gathers + the
+    # NHWC layout copies (~12 ms of the 329 ms r3 chunk trace)
+    "pregather": {"LVAE_PREGATHER": "1"},
+    "nopregather": {"LVAE_PREGATHER": "0"},
 }
 
 
