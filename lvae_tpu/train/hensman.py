@@ -72,6 +72,42 @@ def _pregather_active(mesh) -> bool:
     return PREGATHER_AUTO_DEFAULT
 
 
+# Overlapped chunk dispatch: ``fit`` without a callback dispatches chunk k+1
+# BEFORE materialising chunk k's metrics (a one-chunk lag). The remote-relay
+# execute round trip (~103.5 ms/dispatch, tools/chunk_sweep.py) then overlaps
+# the next chunk's device execution instead of serialising with it. Values
+# are identical — the dispatch sequence (programs, order, inputs) is
+# unchanged; only WHEN the host reads the metrics moves. The callback path
+# keeps the synced loop: the callback contract hands it a trainer whose state
+# is current at the chunk boundary (checkpoint/validate/rollback).
+# Env override LVAE_OVERLAP=0/1 for A/B.
+#
+# Default ON by the measured on-chip probe (tools/overlap_probe.py,
+# 2026-08-19, K=8 chunks × 25 epochs, interleaved reps): sync 17.90 →
+# lag1 13.95 ms/epoch wall (device ≈ 13.15; dispatch-return latency ~1 ms,
+# i.e. the relay accepts a second execute while the first runs). Backend-
+# agnostic and value-identical, so it stays on for CPU too.
+use_overlapped_fit: Optional[bool] = None
+OVERLAP_AUTO_DEFAULT = True
+_ov_env = os.environ.get("LVAE_OVERLAP", "").strip().lower()
+if _ov_env in ("1", "true", "on"):
+    use_overlapped_fit = True
+elif _ov_env in ("0", "false", "off"):
+    use_overlapped_fit = False
+elif _ov_env:
+    raise ValueError(
+        f"LVAE_OVERLAP={os.environ['LVAE_OVERLAP']!r}: expected 0/1"
+    )
+
+
+def _overlap_active(explicit: Optional[bool]) -> bool:
+    if explicit is not None:
+        return explicit
+    if use_overlapped_fit is not None:
+        return use_overlapped_fit
+    return OVERLAP_AUTO_DEFAULT
+
+
 class HensmanConfig(NamedTuple):
     """Static configuration of the jitted step (hashable)."""
 
@@ -584,13 +620,21 @@ class HensmanTrainer:
             n,
         )
 
-    def run_epochs(self, n: int):
-        """Run ``n`` epochs in one dispatch; returns per-epoch metrics."""
+    def _dispatch_epochs(self, n: int):
+        """Dispatch an ``n``-epoch chunk; return its DEVICE metrics (no sync).
+
+        ``self.state`` advances to the chunk's output immediately — the
+        state dependency chains on device, so back-to-back dispatches need
+        no host round trip between them (``fit``'s overlapped path)."""
         self.state, ms = self._executable_for(n)(self.state, self.tdata)
         if self.cfg.learn_inducing and self.state.trainables.z is not None:
             # keep the serving/eval view (tdata.z) in sync with the learned
             # points so every downstream consumer sees the optimised basis
             self.tdata = self.tdata._replace(z=self.state.trainables.z)
+        return ms
+
+    def _materialize_metrics(self, ms, n: int):
+        """Fetch a dispatched chunk's metrics to host floats (blocks)."""
         out = []
         host = jax.tree.map(np.asarray, ms)
         for e in range(n):
@@ -599,23 +643,47 @@ class HensmanTrainer:
             out.append(m)
         return out
 
+    def run_epochs(self, n: int):
+        """Run ``n`` epochs in one dispatch; returns per-epoch metrics."""
+        return self._materialize_metrics(self._dispatch_epochs(n), n)
+
     def run_epoch(self):
         return self.run_epochs(1)[0]
 
-    def fit(self, epochs: int, log_every: int = 1, callback=None, chunk: int = 25):
+    def _log_chunk(self, ms, done: int, epochs: int, log_every: int):
+        for i, m in enumerate(ms):
+            epoch = done + i + 1
+            if log_every and (epoch % log_every == 0):
+                print(
+                    "Iter %d/%d - Loss: %.3f  - GP loss: %.3f"
+                    "  - NLL Loss: %.3f  - Recon Loss: %.3f"
+                    % (epoch, epochs, m.net, m.kld, m.nll, m.recon),
+                    flush=True,
+                )
+
+    def fit(
+        self,
+        epochs: int,
+        log_every: int = 1,
+        callback=None,
+        chunk: int = 25,
+        overlap: Optional[bool] = None,
+    ):
+        """Train ``epochs`` epochs in ``chunk``-epoch dispatches.
+
+        ``overlap`` (default: module switch ``use_overlapped_fit``) enables
+        the one-chunk-lag schedule when no ``callback`` is registered:
+        chunk k+1 is dispatched before chunk k's metrics are read, hiding
+        the remote-execute round trip behind device time. Identical values
+        and print order; a callback forces the synced loop (its contract is
+        a state-current trainer at every chunk boundary)."""
+        if callback is None and _overlap_active(overlap):
+            return self._fit_overlapped(epochs, log_every, chunk)
         done = 0
         while done < epochs:
             n = min(max(chunk, 1), epochs - done)
             ms = self.run_epochs(n)
-            for i, m in enumerate(ms):
-                epoch = done + i + 1
-                if log_every and (epoch % log_every == 0):
-                    print(
-                        "Iter %d/%d - Loss: %.3f  - GP loss: %.3f"
-                        "  - NLL Loss: %.3f  - Recon Loss: %.3f"
-                        % (epoch, epochs, m.net, m.kld, m.nll, m.recon),
-                        flush=True,
-                    )
+            self._log_chunk(ms, done, epochs, log_every)
             done += n
             if callback is not None:
                 if callback(self, done, ms[-1]) == "rollback":
@@ -623,4 +691,24 @@ class HensmanTrainer:
                     # snapshot — REPLAY these epochs instead of silently
                     # training fewer than reported (pipeline._recover)
                     done -= n
+        return self.history
+
+    def _fit_overlapped(self, epochs: int, log_every: int, chunk: int):
+        dispatched = 0
+        printed = 0
+        pending = None  # (n, device metrics) of the chunk in flight
+        while dispatched < epochs or pending is not None:
+            nxt = None
+            if dispatched < epochs:
+                n = min(max(chunk, 1), epochs - dispatched)
+                nxt = (n, self._dispatch_epochs(n))
+                dispatched += n
+            if pending is not None:
+                pn, pms = pending
+                self._log_chunk(
+                    self._materialize_metrics(pms, pn), printed, epochs,
+                    log_every,
+                )
+                printed += pn
+            pending = nxt
         return self.history

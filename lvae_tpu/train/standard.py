@@ -443,31 +443,71 @@ class StandardTrainer:
         self.history.append(m)
         return m
 
-    def run_epochs(self, n: int):
-        """Run ``n`` epochs as ONE dispatch; one host metric transfer total."""
+    def _dispatch_epochs(self, n: int):
+        """Dispatch an ``n``-epoch chunk; return its DEVICE metrics (no sync)."""
         self.state, ms = self.epochs_fn(self.state, self.tdata, self.block_mask, n)
+        return ms
+
+    def _materialize_metrics(self, ms, n: int):
         ms = jax.tree.map(np.asarray, ms)  # [n]-stacked StandardMetrics
         out = [StandardMetrics(*(float(a[i]) for a in ms)) for i in range(n)]
         self.history.extend(out)
         return out
 
-    def fit(self, epochs: int, log_every: int = 1, callback=None, chunk: int = 25):
+    def run_epochs(self, n: int):
+        """Run ``n`` epochs as ONE dispatch; one host metric transfer total."""
+        return self._materialize_metrics(self._dispatch_epochs(n), n)
+
+    def _log_chunk(self, ms, done: int, epochs: int, log_every: int):
+        for i, m in enumerate(ms):
+            epoch = done + i + 1
+            if log_every and epoch % log_every == 0:
+                print(
+                    "Iter %d/%d - Loss: %.3f  - GP loss: %.3f  - NLL Loss: %.3f"
+                    "  - Recon Loss: %.3f"
+                    % (epoch, epochs, m.net, m.gp, m.nll, m.recon),
+                    flush=True,
+                )
+
+    def fit(
+        self,
+        epochs: int,
+        log_every: int = 1,
+        callback=None,
+        chunk: int = 25,
+        overlap=None,
+    ):
         # chunk semantics match HensmanTrainer.fit: `chunk` epochs per
         # dispatch, per-epoch logs from the stacked metrics, callback at
-        # chunk boundaries (the pipeline gcd-aligns chunk to its cadences)
+        # chunk boundaries (the pipeline gcd-aligns chunk to its cadences).
+        # Without a callback the overlapped schedule applies (one-chunk lag
+        # on metric reads — train/hensman.use_overlapped_fit, same measured
+        # rationale: the remote execute round trip hides behind device time).
+        from lvae_tpu.train.hensman import _overlap_active
+
+        if callback is None and _overlap_active(overlap):
+            dispatched = printed = 0
+            pending = None
+            while dispatched < epochs or pending is not None:
+                nxt = None
+                if dispatched < epochs:
+                    n = min(max(chunk, 1), epochs - dispatched)
+                    nxt = (n, self._dispatch_epochs(n))
+                    dispatched += n
+                if pending is not None:
+                    pn, pms = pending
+                    self._log_chunk(
+                        self._materialize_metrics(pms, pn), printed, epochs,
+                        log_every,
+                    )
+                    printed += pn
+                pending = nxt
+            return self.history
         done = 0
         while done < epochs:
             n = min(max(chunk, 1), epochs - done)
             ms = self.run_epochs(n)
-            for i, m in enumerate(ms):
-                epoch = done + i + 1
-                if log_every and epoch % log_every == 0:
-                    print(
-                        "Iter %d/%d - Loss: %.3f  - GP loss: %.3f  - NLL Loss: %.3f"
-                        "  - Recon Loss: %.3f"
-                        % (epoch, epochs, m.net, m.gp, m.nll, m.recon),
-                        flush=True,
-                    )
+            self._log_chunk(ms, done, epochs, log_every)
             done += n
             if callback is not None:
                 if callback(self, done, ms[-1]) == "rollback":

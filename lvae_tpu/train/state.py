@@ -146,7 +146,16 @@ def make_optimizer(
     return optax.flatten(optax.adam(learning_rate))
 
 
+@jax.jit
 def tree_finite(tree) -> jax.Array:
-    """True iff every leaf is finite — cheap NaN guard for failure detection."""
+    """True iff every leaf is finite — cheap NaN guard for failure detection.
+
+    Jitted into ONE dispatch: the eager form issued one ``isfinite`` + one
+    ``all`` per leaf, and on the remote-attached TPU every eager op is a
+    full relay round trip — the ``auto_recover`` chunk callback was paying
+    seconds of latency for a boolean. ``jax.jit`` caches one program per
+    pytree structure (trainables / debug-state trees), so steady-state cost
+    is a single execute.
+    """
     leaves = [jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(tree)]
     return jnp.all(jnp.stack(leaves))

@@ -167,27 +167,55 @@ class VITrainer:
         self.epochs_fn = epochs_fn
         self.history: list = []
 
-    def fit(self, epochs: int, log_every: int = 100, chunk: int = 100):
+    def _dispatch_epochs(self, n: int):
+        """Dispatch an ``n``-epoch chunk; return its DEVICE metrics (no sync)."""
+        self.state, ms = self.epochs_fn(
+            self.state, self.data_ordered, self.pixmask_ordered,
+            self.xb, self.block_mask, self.z_ind, n,
+        )
+        return ms
+
+    def _materialize_log(self, ms, n, done, epochs, log_every):
+        ms = np.asarray(ms)  # [n, 4]
+        for i in range(n):
+            epoch = done + i + 1
+            net, recon, nll, gp = (float(v) for v in ms[i])
+            m = dict(net=net, recon=recon, nll=nll, gp=gp)
+            self.history.append(m)
+            if log_every and epoch % log_every == 0:
+                print(
+                    "Iter %d/%d - Loss: %.3f  - GP loss: %.3f  - NLL "
+                    "Loss: %.3f  - Recon Loss: %.3f"
+                    % (epoch, epochs, net, gp, nll, recon),
+                    flush=True,
+                )
+
+    def fit(self, epochs: int, log_every: int = 100, chunk: int = 100, overlap=None):
+        # overlapped schedule (train/hensman.use_overlapped_fit): dispatch
+        # chunk k+1 before reading chunk k's metrics — the remote execute
+        # round trip hides behind device time; values/prints identical
+        from lvae_tpu.train.hensman import _overlap_active
+
+        if _overlap_active(overlap):
+            dispatched = printed = 0
+            pending = None
+            while dispatched < epochs or pending is not None:
+                nxt = None
+                if dispatched < epochs:
+                    n = min(max(chunk, 1), epochs - dispatched)
+                    nxt = (n, self._dispatch_epochs(n))
+                    dispatched += n
+                if pending is not None:
+                    pn, pms = pending
+                    self._materialize_log(pms, pn, printed, epochs, log_every)
+                    printed += pn
+                pending = nxt
+            return self.history
         done = 0
         while done < epochs:
             n = min(max(chunk, 1), epochs - done)
-            self.state, ms = self.epochs_fn(
-                self.state, self.data_ordered, self.pixmask_ordered,
-                self.xb, self.block_mask, self.z_ind, n,
-            )
-            ms = np.asarray(ms)  # [n, 4]
-            for i in range(n):
-                epoch = done + i + 1
-                net, recon, nll, gp = (float(v) for v in ms[i])
-                m = dict(net=net, recon=recon, nll=nll, gp=gp)
-                self.history.append(m)
-                if log_every and epoch % log_every == 0:
-                    print(
-                        "Iter %d/%d - Loss: %.3f  - GP loss: %.3f  - NLL "
-                        "Loss: %.3f  - Recon Loss: %.3f"
-                        % (epoch, epochs, net, gp, nll, recon),
-                        flush=True,
-                    )
+            ms = self._dispatch_epochs(n)
+            self._materialize_log(ms, n, done, epochs, log_every)
             done += n
         return self.history
 

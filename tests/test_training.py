@@ -360,3 +360,113 @@ def test_pregather_auto_off_on_multi_device_mesh():
     mesh = Mesh(devs, ("data", "latent"))
     assert th._pregather_active(mesh) is False
     assert th._pregather_active(None) in (True, False)  # resolves, no crash
+
+
+def test_overlapped_fit_matches_synced_fit(capsys):
+    """fit(overlap=True) is a pure scheduling change: chunk k+1 dispatches
+    before chunk k's metrics are read. History, prints and final state must
+    be identical to the synced loop — the dispatch sequence is unchanged.
+    Uses 7 epochs with chunk=3 to cover the ragged tail chunk."""
+    def run(overlap):
+        ds = tiny_cohort()
+        blocks = build_subject_blocks(ds.labels, id_covariate=2)
+        cfg = make_cfg(True)
+        model = mv.SimpleVAE(latent_dim=cfg.latent_dim, num_dim=20)
+        z = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+        trainer = th.HensmanTrainer(
+            model, cfg, ds, blocks, z, subjects_per_batch=3, seed=0
+        )
+        hist = trainer.fit(7, log_every=1, chunk=3, overlap=overlap)
+        return (
+            list(hist),
+            jax.tree.map(np.asarray, trainer.state.trainables),
+            capsys.readouterr().out,
+        )
+
+    h_a, tr_a, out_a = run(False)
+    h_b, tr_b, out_b = run(True)
+    assert len(h_a) == len(h_b) == 7
+    for a, b in zip(h_a, h_b):
+        assert a == b, (a, b)
+    jax.tree.map(np.testing.assert_array_equal, tr_a, tr_b)
+    assert out_a == out_b  # per-epoch print order preserved
+
+
+def test_overlapped_fit_callback_forces_synced_loop(monkeypatch):
+    """A callback's contract is a state-current trainer at every chunk
+    boundary — fit must keep the synced loop even when the overlap switch
+    is globally on, and the callback must still see per-chunk boundaries."""
+    monkeypatch.setattr(th, "use_overlapped_fit", True)
+    ds = tiny_cohort()
+    blocks = build_subject_blocks(ds.labels, id_covariate=2)
+    cfg = make_cfg(True)
+    model = mv.SimpleVAE(latent_dim=cfg.latent_dim, num_dim=20)
+    z = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+    trainer = th.HensmanTrainer(
+        model, cfg, ds, blocks, z, subjects_per_batch=3, seed=0
+    )
+    boundaries = []
+
+    def cb(tr, done, last):
+        # state must be materialisable right now (synced contract)
+        assert bool(st.tree_finite(tr.state.trainables))
+        boundaries.append(done)
+
+    trainer.fit(6, log_every=0, callback=cb, chunk=3)
+    assert boundaries == [3, 6]
+
+
+def test_overlapped_fit_standard_and_vi_match_synced():
+    """The overlapped schedule is shared by all three chunked trainers;
+    StandardTrainer and VITrainer must produce identical histories and
+    final state under fit(overlap=True) vs the synced loop (ragged tail
+    chunk included)."""
+    from lvae_tpu.train import standard as ts
+    from lvae_tpu.train.vi import VIConfig, VITrainer
+    from tests.test_gppvae import make_cfg as gp_make_cfg
+    from tests.test_gppvae import tiny_cohort as gp_tiny_cohort
+
+    def run_standard(overlap):
+        p, t, num_dim = 4, 3, 12
+        ds = gp_tiny_cohort(p=p, t=t, num_dim=num_dim)
+        blocks = build_subject_blocks(ds.labels, id_covariate=2)
+        cfg = gp_make_cfg("GPapprox_closed", p=p, t=t)
+        model = mv.SimpleVAE(latent_dim=cfg.latent_dim, num_dim=num_dim,
+                             dtype=jnp.float64)
+        z = st.init_inducing_points(ds.labels, m_inducing=6, seed=0)
+        trainer = ts.StandardTrainer(model, cfg, ds, blocks, z, seed=0,
+                                     dtype=jnp.float64)
+        hist = trainer.fit(5, log_every=0, chunk=2, overlap=overlap)
+        return list(hist), jax.tree.map(np.asarray, trainer.state.trainables)
+
+    h_a, tr_a = run_standard(False)
+    h_b, tr_b = run_standard(True)
+    assert len(h_a) == len(h_b) == 5
+    assert h_a == h_b
+    jax.tree.map(np.testing.assert_array_equal, tr_a, tr_b)
+
+    def run_vi(overlap):
+        ds = tiny_cohort(p=6, t=4)
+        blocks = build_subject_blocks(ds.labels, id_covariate=2)
+        spec0, spec1 = kx.split_kernel_spec(
+            cat_kernel=[2], sqexp_kernel=[0],
+            cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+            id_covariate=2,
+        )
+        model = mv.SimpleVAE(latent_dim=3, num_dim=20)
+        params = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
+            jax.random.key(0), jnp.asarray(ds.data[:2])
+        )
+        gp = st.init_gp_params(spec0, spec1, 3, constrain_scales=True)
+        z = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+        cfg = VIConfig(spec0=spec0, spec1=spec1, latent_dim=3, weight=0.5,
+                       loss_function="mse", constrain_scales=True, eps=1e-5)
+        trainer = VITrainer(model, cfg, ds, blocks, z, params, gp)
+        hist = trainer.fit(5, log_every=0, chunk=2, overlap=overlap)
+        return list(hist), np.asarray(trainer.state.mu)
+
+    h_a, mu_a = run_vi(False)
+    h_b, mu_b = run_vi(True)
+    assert len(h_a) == len(h_b) == 5
+    assert h_a == h_b
+    np.testing.assert_array_equal(mu_a, mu_b)
