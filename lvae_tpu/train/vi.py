@@ -336,16 +336,10 @@ class VITrainer:
 
             return jax.lax.scan(body, carry, jax.random.split(key, n_steps))
 
-        key = jax.random.key(seed)
-        carry = (mu_pred, lv_pred, opt_state)
-        done = 0
-        while done < epochs:
-            n = min(max(chunk, 1), epochs - done)
-            key, sub = jax.random.split(key)
-            carry, ms = pred_steps(carry, sub, n)
+        def log_chunk(ms, done_before):
             ms = np.asarray(ms)
-            for i in range(n):
-                epoch = done + i + 1
+            for i in range(len(ms)):
+                epoch = done_before + i + 1
                 if log_every and epoch % log_every == 0:
                     net, recon_loss, gp_loss = ms[i]
                     print(
@@ -354,7 +348,29 @@ class VITrainer:
                         % (epoch, epochs, net, gp_loss, recon_loss),
                         flush=True,
                     )
-            done += n
+
+        from lvae_tpu.train.hensman import _overlap_active
+
+        key = jax.random.key(seed)
+        carry = (mu_pred, lv_pred, opt_state)
+        done = printed = 0
+        pending = None  # overlapped schedule, as in fit()
+        while done < epochs or pending is not None:
+            nxt = None
+            if done < epochs:
+                n = min(max(chunk, 1), epochs - done)
+                key, sub = jax.random.split(key)
+                carry, ms = pred_steps(carry, sub, n)
+                done += n
+                nxt = (n, ms)
+            if not _overlap_active(None):
+                log_chunk(nxt[1], done - nxt[0])
+                continue
+            if pending is not None:
+                pn, pms = pending
+                log_chunk(pms, printed)
+                printed += pn
+            pending = nxt
         mu_pred, lv_pred, _ = carry
         return np.asarray(mu_pred), np.asarray(lv_pred)
 

@@ -447,6 +447,8 @@ def test_overlapped_fit_standard_and_vi_match_synced():
 
     def run_vi(overlap):
         ds = tiny_cohort(p=6, t=4)
+        pred = tiny_cohort(p=3, t=4, seed=5)
+        pred.labels[:, 2] += 100  # disjoint subject ids
         blocks = build_subject_blocks(ds.labels, id_covariate=2)
         spec0, spec1 = kx.split_kernel_spec(
             cat_kernel=[2], sqexp_kernel=[0],
@@ -463,10 +465,19 @@ def test_overlapped_fit_standard_and_vi_match_synced():
                        loss_function="mse", constrain_scales=True, eps=1e-5)
         trainer = VITrainer(model, cfg, ds, blocks, z, params, gp)
         hist = trainer.fit(5, log_every=0, chunk=2, overlap=overlap)
-        return list(hist), np.asarray(trainer.state.mu)
+        # phase 2 shares the module switch (no explicit param)
+        import unittest.mock as um
 
-    h_a, mu_a = run_vi(False)
-    h_b, mu_b = run_vi(True)
+        with um.patch.object(th, "use_overlapped_fit", overlap):
+            mu_p, lv_p = trainer.optimize_prediction_set(
+                pred, epochs=5, log_every=0, chunk=2
+            )
+        return list(hist), np.asarray(trainer.state.mu), mu_p, lv_p
+
+    h_a, mu_a, mup_a, lvp_a = run_vi(False)
+    h_b, mu_b, mup_b, lvp_b = run_vi(True)
     assert len(h_a) == len(h_b) == 5
     assert h_a == h_b
     np.testing.assert_array_equal(mu_a, mu_b)
+    np.testing.assert_array_equal(mup_a, mup_b)
+    np.testing.assert_array_equal(lvp_a, lvp_b)
