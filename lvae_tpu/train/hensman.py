@@ -636,7 +636,12 @@ class HensmanTrainer:
     def _materialize_metrics(self, ms, n: int):
         """Fetch a dispatched chunk's metrics to host floats (blocks)."""
         out = []
-        host = jax.tree.map(np.asarray, ms)
+        # device_get pipelines the per-leaf transfers (copy_to_host_async on
+        # all leaves, then block); a np.asarray tree.map is one SERIAL relay
+        # round trip per metric leaf — measured 23.96 vs 13.53 ms/epoch at
+        # chunk=5 on the remote chip (tools/overlap_probe.py lag1 vs
+        # lag1_deviceget; nosync floor 13.51)
+        host = jax.device_get(ms)
         for e in range(n):
             m = jax.tree.map(lambda a: float(a[e]), host)
             self.history.append(m)

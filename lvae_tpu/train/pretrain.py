@@ -158,7 +158,9 @@ class VAEPretrainer:
         self.state, ms = self.epoch_fn(
             self.state, self.data, self.pixmask, self.batch_size, n, self.seq_len
         )
-        host = jax.tree.map(np.asarray, ms)
+        # one pipelined host transfer for the whole metric tree (see
+        # train/standard.py:_materialize_metrics for the measurement)
+        host = jax.device_get(ms)
         out = []
         for e in range(n):
             m = jax.tree.map(lambda a: float(a[e]), host)

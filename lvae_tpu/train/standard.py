@@ -449,7 +449,11 @@ class StandardTrainer:
         return ms
 
     def _materialize_metrics(self, ms, n: int):
-        ms = jax.tree.map(np.asarray, ms)  # [n]-stacked StandardMetrics
+        # device_get issues copy_to_host_async on every leaf BEFORE blocking;
+        # a per-leaf np.asarray loop pays one serial relay round trip per
+        # metric on the remote chip (measured: tools/overlap_probe.py —
+        # lag1 23.96 vs lag1_deviceget 13.53 ms/epoch at chunk=5)
+        ms = jax.device_get(ms)  # [n]-stacked StandardMetrics
         out = [StandardMetrics(*(float(a[i]) for a in ms)) for i in range(n)]
         self.history.extend(out)
         return out

@@ -54,15 +54,64 @@ def main():
             _ = jax.tree.map(np.asarray, ms)  # materialise => sync
         return state, (time.perf_counter() - t0) / (K * CHUNK) * 1e3
 
-    def lag1_schedule(state):
+    def make_lag_schedule(depth):
+        def lag_schedule(state):
+            from collections import deque
+
+            t0 = time.perf_counter()
+            q = deque()
+            for _ in range(K):
+                state, ms = ex(state, trainer.tdata)
+                q.append(ms)
+                if len(q) > depth:
+                    _ = jax.tree.map(np.asarray, q.popleft())
+            while q:
+                _ = jax.tree.map(np.asarray, q.popleft())
+            return state, (time.perf_counter() - t0) / (K * CHUNK) * 1e3
+
+        return lag_schedule
+
+    lag1_schedule = make_lag_schedule(1)
+    lag2_schedule = make_lag_schedule(2)
+    lag4_schedule = make_lag_schedule(4)
+
+    def lag1_oneleaf_schedule(state):
+        # fetch ONE leaf per chunk instead of the whole NamedTuple —
+        # decomposes the per-chunk materialise cost into per-leaf RPCs
         t0 = time.perf_counter()
         pending = None
         for _ in range(K):
             state, ms = ex(state, trainer.tdata)
             if pending is not None:
-                _ = jax.tree.map(np.asarray, pending)
+                _ = np.asarray(pending[0])
             pending = ms
-        _ = jax.tree.map(np.asarray, pending)
+        _ = np.asarray(pending[0])
+        return state, (time.perf_counter() - t0) / (K * CHUNK) * 1e3
+
+    def lag1_deviceget_schedule(state):
+        # jax.device_get issues copy_to_host_async on EVERY leaf before
+        # blocking — if the per-chunk cost is serial per-leaf transfer
+        # RPCs, this should match oneleaf/nosync
+        t0 = time.perf_counter()
+        pending = None
+        for _ in range(K):
+            state, ms = ex(state, trainer.tdata)
+            if pending is not None:
+                _ = jax.device_get(pending)
+            pending = ms
+        _ = jax.device_get(pending)
+        return state, (time.perf_counter() - t0) / (K * CHUNK) * 1e3
+
+    def lag1_blockonly_schedule(state):
+        # wait for completion but never transfer: isolates the transfer RPC
+        t0 = time.perf_counter()
+        pending = None
+        for _ in range(K):
+            state, ms = ex(state, trainer.tdata)
+            if pending is not None:
+                jax.block_until_ready(pending)
+            pending = ms
+        jax.block_until_ready(pending)
         return state, (time.perf_counter() - t0) / (K * CHUNK) * 1e3
 
     def nosync_schedule(state):
@@ -77,24 +126,32 @@ def main():
         jax.block_until_ready(all_ms)
         return state, (time.perf_counter() - t0) / (K * CHUNK) * 1e3, dispatch_lat
 
+    schedules = {
+        "sync": sync_schedule,
+        "lag1": lag1_schedule,
+        "lag2": lag2_schedule,
+        "lag4": lag4_schedule,
+        "lag1_oneleaf": lag1_oneleaf_schedule,
+        "lag1_deviceget": lag1_deviceget_schedule,
+        "lag1_blockonly": lag1_blockonly_schedule,
+    }
     results = {}
     # interleave repeats so relay drift doesn't bias one arm
     for rep in range(2):
-        for name in ("sync", "lag1", "nosync"):
-            if name == "sync":
-                state, ms_epoch = sync_schedule(state)
-                results.setdefault(name, []).append(ms_epoch)
-            elif name == "lag1":
-                state, ms_epoch = lag1_schedule(state)
-                results.setdefault(name, []).append(ms_epoch)
-            else:
-                state, ms_epoch, lat = nosync_schedule(state)
-                results.setdefault(name, []).append(ms_epoch)
-                results.setdefault("dispatch_return_ms", []).extend(lat)
+        for name, sched in schedules.items():
+            state, ms_epoch = sched(state)
+            results.setdefault(name, []).append(ms_epoch)
             print(f"rep{rep} {name}: {results[name][-1]:.2f} ms/epoch", flush=True)
+        state, ms_epoch, lat = nosync_schedule(state)
+        results.setdefault("nosync", []).append(ms_epoch)
+        results.setdefault("dispatch_return_ms", []).extend(lat)
+        print(f"rep{rep} nosync: {results['nosync'][-1]:.2f} ms/epoch", flush=True)
 
     print("\n== summary (wall ms/epoch, K=%d chunks x %d epochs) ==" % (K, CHUNK))
-    for name in ("sync", "lag1", "nosync"):
+    for name in (
+        "sync", "lag1", "lag2", "lag4", "lag1_oneleaf", "lag1_deviceget",
+        "lag1_blockonly", "nosync",
+    ):
         vals = results[name]
         print(f"  {name:7s} {np.median(vals):7.2f}  (reps: "
               + ", ".join(f"{v:.2f}" for v in vals) + ")")
