@@ -444,8 +444,8 @@ def _bench_digest():
         (k, v) for k, v in os.environ.items()
         if (k.startswith("BENCH_") and k != "BENCH_NO_PROBE")
         or k in (  # module switches
-            "LVAE_OPT", "LVAE_S2D", "LVAE_BCHAIN", "LVAE_STACK_CHOL",
-            "LVAE_PREGATHER", "LVAE_OVERLAP",
+            "LVAE_OPT", "LVAE_S2D", "LVAE_BCHAIN", "LVAE_BCHAIN_BM",
+            "LVAE_STACK_CHOL", "LVAE_PREGATHER", "LVAE_OVERLAP",
         )
     )
     h.update(repr(env).encode())

@@ -27,6 +27,7 @@ Hensman config (benchmarks/README.md "fast-path A/B"); forced on
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,8 +44,35 @@ from lvae_tpu.ops import kernels as kx
 _LANE = 128
 MAX_T = 64  # VMEM: ~5 [T, T, 128] f32 buffers live; T=64 ≈ 10.5 MB of ~16 MB
 
+# Batch-major output: emit B⁻¹ as [L·S, T, T] straight from the kernel (the
+# lane→sublane transpose happens in VMEM) instead of [T, T, L·S] + an XLA
+# relayout. The r3 hlo_stats trace puts the boundary copies of the
+# lanes-major output at ~8.5 ms of the 329 ms flagship chunk (copy.481 +
+# reshape.1024 + copy.454 — two DIFFERENT consumer layouts of the same
+# symmetric stack). None → auto (B_CHAIN_BM_AUTO_DEFAULT, set by the on-chip
+# A/B); True/False force. Env override LVAE_BCHAIN_BM=1/0/auto.
+B_CHAIN_BM_AUTO_DEFAULT = False
+use_batch_major_out = None
+_bm_env = os.environ.get("LVAE_BCHAIN_BM", "").strip().lower()
+if _bm_env in ("1", "true", "on"):
+    use_batch_major_out = True
+elif _bm_env in ("0", "false", "off"):
+    use_batch_major_out = False
+elif _bm_env not in ("", "auto", "none"):
+    raise ValueError(
+        f"LVAE_BCHAIN_BM={os.environ['LVAE_BCHAIN_BM']!r}: expected "
+        "1/0/auto"
+    )
 
-def _make_body(spec0: kx.KernelSpec, spec1: kx.KernelSpec, T: int):
+
+def _batch_major_active() -> bool:
+    if use_batch_major_out is None:
+        return B_CHAIN_BM_AUTO_DEFAULT
+    return use_batch_major_out
+
+
+def _make_body(spec0: kx.KernelSpec, spec1: kx.KernelSpec, T: int,
+               batch_major: bool = False):
     def body(x_ref, m_ref, s0_ref, g0_ref, s1_ref, g1_ref, nz_ref,
              ib_ref, logdet_ref, tr_ref):
         x = x_ref[:]  # [Q, T, Bt] covariate value at time t, per batch lane
@@ -116,7 +144,12 @@ def _make_body(spec0: kx.KernelSpec, spec1: kx.KernelSpec, T: int):
         tr = jnp.zeros((bt,), jnp.float32)
         for i in range(T):
             inv_row = jnp.sum(mi * mi[:, i][:, None], axis=0)  # [T, Bt]
-            ib_ref[i, :] = inv_row
+            if batch_major:
+                # emit [Bt, T, T] — the lane→sublane move happens here in
+                # VMEM instead of as an XLA HBM relayout of the whole stack
+                ib_ref[:, i, :] = jnp.swapaxes(inv_row, 0, 1)
+            else:
+                ib_ref[i, :] = inv_row
             tr = tr + jnp.sum(inv_row * k0[i], axis=0)
         logdet_ref[0] = logdet
         tr_ref[0] = tr
@@ -124,9 +157,11 @@ def _make_body(spec0: kx.KernelSpec, spec1: kx.KernelSpec, T: int):
     return body
 
 
-@functools.partial(jax.jit, static_argnames=("spec0", "spec1", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("spec0", "spec1", "interpret", "batch_major")
+)
 def _b_chain_pallas(spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
-                    interpret=False):
+                    interpret=False, batch_major=False):
     """Constrained params + [S, T, Q] blocks → (iB [L,S,T,T], logdet [L],
     tr(B⁻¹K0) [L]), all f32."""
     s_dim, t_dim, q = xb.shape
@@ -165,8 +200,16 @@ def _b_chain_pallas(spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
     c0 = len(spec0.components)
     c1 = len(spec1.components)
     grid = (bp // _LANE,)
+    if batch_major:
+        ib_spec = pl.BlockSpec((_LANE, t_dim, t_dim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        ib_shape = jax.ShapeDtypeStruct((bp, t_dim, t_dim), jnp.float32)
+    else:
+        ib_spec = pl.BlockSpec((t_dim, t_dim, _LANE), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)
+        ib_shape = jax.ShapeDtypeStruct((t_dim, t_dim, bp), jnp.float32)
     ib_t, logdet, tr = pl.pallas_call(
-        _make_body(spec0, spec1, t_dim),
+        _make_body(spec0, spec1, t_dim, batch_major=batch_major),
         grid=grid,
         in_specs=[
             pl.BlockSpec((q, t_dim, _LANE), lambda i: (0, 0, i),
@@ -180,20 +223,25 @@ def _b_chain_pallas(spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
             pl.BlockSpec((1, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((t_dim, t_dim, _LANE), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
+            ib_spec,
             pl.BlockSpec((1, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t_dim, t_dim, bp), jnp.float32),
+            ib_shape,
             jax.ShapeDtypeStruct((1, bp), jnp.float32),
             jax.ShapeDtypeStruct((1, bp), jnp.float32),
         ),
         interpret=interpret,
     )(xr, mr, per_lane(s0), per_lane(g0), per_lane(s1), per_lane(g1), nzr)
 
-    ib = jnp.transpose(ib_t[:, :, :b], (2, 0, 1)).reshape(l, s_dim, t_dim, t_dim)
+    if batch_major:
+        # [Bp, T, T] → [L, S, T, T] is a pure reshape of the leading axis
+        ib = ib_t[:b].reshape(l, s_dim, t_dim, t_dim)
+    else:
+        ib = jnp.transpose(ib_t[:, :, :b], (2, 0, 1)).reshape(
+            l, s_dim, t_dim, t_dim
+        )
     logdet_l = jnp.sum(logdet[0, :b].reshape(l, s_dim), axis=1)
     tr_l = jnp.sum(tr[0, :b].reshape(l, s_dim), axis=1)
     return ib, logdet_l, tr_l
@@ -238,7 +286,8 @@ def _entry_if_divides(sharding, dim: int, size: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _partitioned_b_chain(spec0, spec1, interpret: bool):
+def _partitioned_b_chain(spec0, spec1, interpret: bool,
+                         batch_major: bool = False):
     """custom_partitioning wrapper, cached per (specs, interpret).
 
     Shardy rule: L threads the params/noise and all three results, S threads
@@ -251,7 +300,8 @@ def _partitioned_b_chain(spec0, spec1, interpret: bool):
 
     def call(s0, g0, s1, g1, noise, xb, mask):
         return _b_chain_pallas(
-            spec0, spec1, s0, g0, s1, g1, noise, xb, mask, interpret=interpret
+            spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
+            interpret=interpret, batch_major=batch_major,
         )
 
     fn = custom_partitioning(call)
@@ -320,12 +370,12 @@ def _b_chain_impl(spec0, spec1, s0, g0, s1, g1, noise, xb, mask):
 
     if la.pallas_suppress_active() and use_partitioned_b_chain:
         # mesh-traced program: route through the declared partitioning rule
-        return _partitioned_b_chain(spec0, spec1, _auto_interpret())(
-            s0, g0, s1, g1, noise, xb, mask
-        )
+        return _partitioned_b_chain(
+            spec0, spec1, _auto_interpret(), _batch_major_active()
+        )(s0, g0, s1, g1, noise, xb, mask)
     return _b_chain_pallas(
         spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
-        interpret=_auto_interpret(),
+        interpret=_auto_interpret(), batch_major=_batch_major_active(),
     )
 
 

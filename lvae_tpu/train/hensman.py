@@ -615,6 +615,7 @@ class HensmanTrainer:
             la.pallas_suppress_active(),
             (kc.use_partitioned_cholesky, kc._partition_interpret),
             bc.use_partitioned_b_chain,
+            (bc.use_batch_major_out, bc.B_CHAIN_BM_AUTO_DEFAULT),
             eb.use_stacked_mm_chol,
             (use_epoch_pregather, PREGATHER_AUTO_DEFAULT),
             n,

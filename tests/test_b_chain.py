@@ -263,3 +263,69 @@ def test_cat_mod_component(bchain_on):
     ib1, ld1, tr1 = b_chain_operators(*args)
     np.testing.assert_allclose(np.asarray(ib1), np.asarray(ib0), atol=2e-5)
     np.testing.assert_allclose(np.asarray(tr1), np.asarray(tr0), rtol=2e-5, atol=2e-5)
+
+
+@pytest.fixture
+def batch_major_on():
+    from lvae_tpu.kernels_pallas import b_chain as bc
+
+    old = bc.use_batch_major_out
+    bc.use_batch_major_out = True
+    yield
+    bc.use_batch_major_out = old
+
+
+def test_batch_major_output_bitwise(bchain_on, batch_major_on):
+    """The batch-major emit path (use_batch_major_out: [L·S, T, T] written
+    straight from VMEM, no XLA relayout of the lanes-major stack) is the
+    same numbers — the kernel writes identical floats, only the output
+    layout moves — across all three outputs and the parameter gradients."""
+    from lvae_tpu.kernels_pallas import b_chain as bc
+
+    args = make_inputs(s=7, t=5, latent=4, seed=3)
+
+    def run_all(flag):
+        old = bc.use_batch_major_out
+        bc.use_batch_major_out = flag
+        try:
+            outs = bc.b_chain_operators(*args)
+
+            def scalar(kp0, kp1, noise):
+                ib, ld, tr = bc.b_chain_operators(
+                    args[0], args[1], kp0, kp1, noise, args[5], args[6]
+                )
+                return (
+                    jnp.sum(ib * jnp.cos(jnp.arange(ib.size, dtype=ib.dtype)
+                                         .reshape(ib.shape)))
+                    + jnp.sum(ld * 1.3) + jnp.sum(tr * 0.7)
+                )
+
+            grads = jax.grad(scalar, argnums=(0, 1, 2))(
+                args[2], args[3], args[4]
+            )
+            return outs, grads
+        finally:
+            bc.use_batch_major_out = old
+
+    (ib0, ld0, tr0), g0 = run_all(False)
+    (ib1, ld1, tr1), g1 = run_all(True)
+    np.testing.assert_array_equal(np.asarray(ib1), np.asarray(ib0))
+    np.testing.assert_array_equal(np.asarray(ld1), np.asarray(ld0))
+    np.testing.assert_array_equal(np.asarray(tr1), np.asarray(tr0))
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batch_major_matches_xla(bchain_on, batch_major_on):
+    """Batch-major emit vs the XLA chain on the ragged fixture."""
+    from lvae_tpu.kernels_pallas.b_chain import b_chain_operators
+
+    args = make_inputs()
+    ib0, ld0, tr0 = xla_reference(*args)
+    ib1, ld1, tr1 = b_chain_operators(*args)
+    np.testing.assert_allclose(np.asarray(ib1), np.asarray(ib0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ld1), np.asarray(ld0), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(tr1), np.asarray(tr0), rtol=2e-5, atol=2e-5
+    )

@@ -45,6 +45,11 @@ ARMS = {
     # NHWC layout copies (~12 ms of the 329 ms r3 chunk trace)
     "pregather": {"LVAE_PREGATHER": "1"},
     "nopregather": {"LVAE_PREGATHER": "0"},
+    # batch-major B⁻¹ emit (kernels_pallas/b_chain.use_batch_major_out):
+    # the lane→sublane transpose moves into VMEM, deleting the XLA boundary
+    # relayouts of the lanes-major stack (~8.5 ms of the 329 ms r3 chunk)
+    "bm": {"LVAE_BCHAIN_BM": "1"},
+    "nobm": {"LVAE_BCHAIN_BM": "0"},
 }
 
 
