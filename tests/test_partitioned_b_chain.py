@@ -83,10 +83,9 @@ def test_lowering_sees_local_shards(no_compile_cache, monkeypatch):
     shapes = []
     orig = bc._b_chain_pallas
 
-    def spy(spec0, spec1, s0, g0, s1, g1, noise, xb, mask, interpret=False):
+    def spy(spec0, spec1, s0, g0, s1, g1, noise, xb, mask, **kw):
         shapes.append((s0.shape, xb.shape))
-        return orig(spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
-                    interpret=interpret)
+        return orig(spec0, spec1, s0, g0, s1, g1, noise, xb, mask, **kw)
 
     monkeypatch.setattr(bc, "_b_chain_pallas", spy)
     mesh = make_mesh(2, 2)
@@ -134,10 +133,9 @@ def test_sharded_hensman_epoch_runs_partitioned_bchain(
     shapes = []
     orig = bc._b_chain_pallas
 
-    def spy(spec0, spec1, s0, g0, s1, g1, noise, xb, mask, interpret=False):
+    def spy(spec0, spec1, s0, g0, s1, g1, noise, xb, mask, **kw):
         shapes.append(xb.shape)
-        return orig(spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
-                    interpret=interpret)
+        return orig(spec0, spec1, s0, g0, s1, g1, noise, xb, mask, **kw)
 
     monkeypatch.setattr(bc, "_b_chain_pallas", spy)
     sharded = ShardedHensmanTrainer(_tiny_hensman(), make_mesh(2, 1))
@@ -177,10 +175,9 @@ def test_bucketed_sharded_epoch_runs_partitioned_bchain(
     t_dims = []
     orig = bc._b_chain_pallas
 
-    def spy(spec0, spec1, s0, g0, s1, g1, noise, xb, mask, interpret=False):
+    def spy(spec0, spec1, s0, g0, s1, g1, noise, xb, mask, **kw):
         t_dims.append(xb.shape[1])
-        return orig(spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
-                    interpret=interpret)
+        return orig(spec0, spec1, s0, g0, s1, g1, noise, xb, mask, **kw)
 
     monkeypatch.setattr(bc, "_b_chain_pallas", spy)
     sharded = ShardedHensmanTrainer(
