@@ -47,14 +47,22 @@ def enabled() -> bool:
 
 
 def cache_dir() -> str:
+    from lvae_tpu.utils.compile_cache import DEFAULT_CACHE
+
     d = os.environ.get(
         "LVAE_AOT_CACHE",
         os.path.join(
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache"), "aot"
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", DEFAULT_CACHE), "aot"
         ),
     )
     os.makedirs(d, exist_ok=True)
     return d
+
+
+# Last load() outcome: 'hit' | 'miss' | 'corrupt' | 'error' | None (no load
+# yet). bench.py reads this to emit a self-describing ``cache_layer`` field
+# in the artifact of record (VERDICT r3 item 2).
+last_event: Optional[str] = None
 
 
 def _package_digest() -> str:
@@ -172,9 +180,11 @@ def load(key: str) -> Optional[Callable]:
     the executable upload leg is transiently flaky, and deleting a good
     50 MB artifact over a relay hiccup forces a full recompile next start
     (observed r3: one transient failure cost a 250 s recompile)."""
+    global last_event
     if not enabled():
         return None
     path = os.path.join(cache_dir(), key + ".pkl")
+    last_event = "miss"
     try:
         with open(path, "rb") as f:
             payload, in_tree, out_tree, dev_ids = pickle.load(f)
@@ -189,6 +199,7 @@ def load(key: str) -> Optional[Callable]:
         return None
     except Exception as e:  # noqa: BLE001 — corrupt artifact: drop it
         _debug(f"corrupt artifact {key[:32]}: {e!r}")
+        last_event = "corrupt"
         try:
             os.unlink(path)
         except OSError:
@@ -216,12 +227,15 @@ def load(key: str) -> Optional[Callable]:
                     execution_devices=execution_devices,
                 )
                 _debug(f"hit {key[:32]} (attempt {attempt})")
+                last_event = "hit"
                 return fn
             except Exception as e:  # noqa: BLE001 — transient relay failure
                 _debug(f"deserialize attempt {attempt} failed: {e!r}")
+        last_event = "error"
         return None
     except Exception as e:  # noqa: BLE001
         _debug(f"load failed {key[:32]}: {e!r}")
+        last_event = "error"
         return None
 
 

@@ -10,7 +10,15 @@ from __future__ import annotations
 
 import os
 
-DEFAULT_CACHE = "/tmp/jaxcache"
+# Wipe-proof default (VERDICT r3 item 2): /tmp is cleared between sessions,
+# which turned the 0.5 s warm start into a 220 s cold record in BENCH_r03.
+# The repo directory itself persists across sessions, so the cache lives in
+# a gitignored repo-local .cache/ next to the package; env-overridable via
+# JAX_COMPILATION_CACHE_DIR.
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+DEFAULT_CACHE = os.path.join(_REPO_ROOT, ".cache", "jax")
 
 
 def enable_compile_cache(path: str | None = None) -> str | None:

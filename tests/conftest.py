@@ -22,8 +22,14 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Suite wall time is compile-dominated; the persistent cache makes repeat
-# runs (CI/driver and local iteration) skip recompiles entirely.
-_cache = os.environ.get("JAX_TEST_COMPILATION_CACHE", "/tmp/jaxcache-tests")
+# runs (CI/driver and local iteration) skip recompiles entirely. Repo-local
+# (gitignored .cache/) so it survives the between-session /tmp wipes that
+# cold-started round 3.
+_cache = os.environ.get(
+    "JAX_TEST_COMPILATION_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".cache", "jax-tests"),
+)
 if _cache:
     os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)
