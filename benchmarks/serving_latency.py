@@ -112,7 +112,7 @@ def main(argv=None):
     ap.add_argument("--t_obs", type=int, default=10)
     ap.add_argument("--n_query", type=int, default=10)
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--k_subjects", type=int, nargs="+", default=[2, 8])
+    ap.add_argument("--k_subjects", type=int, nargs="+", default=[1, 2, 8, 32])
     a = ap.parse_args(argv)
 
     import jax
@@ -163,6 +163,25 @@ def main(argv=None):
         batch_rows[f"K{k}_ms"] = round(ms, 3)
         batch_rows[f"K{k}_ms_per_subject"] = round(ms / k, 3)
 
+    # basis refresh: fold 2 new TRAINING subjects into the serving basis
+    # in place (cohort growth, no O(P) refold / no recompile) vs rebuilding
+    # the basis from scratch at the grown size
+    grow_n = 2
+    grow_x = data[: grow_n * T]
+    grow_lab = labels[: grow_n * T].astype(np.float32).copy()
+    base_ids = grow_lab[:, 2].copy()
+    refresh_counter = [0]
+
+    def do_refresh():
+        refresh_counter[0] += 1
+        grow_lab[:, 2] = 5e6 + base_ids + grow_n * refresh_counter[0]
+        bundle.refresh_basis(grow_x, grow_lab)
+
+    refresh_ms = timed(do_refresh, reps=10, warmup=1)
+    t0 = time.perf_counter()
+    bundle._fold_basis()
+    refold_s = time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -179,6 +198,11 @@ def main(argv=None):
                     "t_obs": a.t_obs,
                     "n_query": a.n_query,
                     "batch_scoring": batch_rows,
+                    # in-place fold of 2 new training subjects vs refolding
+                    # the grown cohort (a refold at a NEW cohort shape also
+                    # pays a fresh compile — that is the real refold cost)
+                    "basis_refresh_2subj_ms": round(refresh_ms, 3),
+                    "basis_refold_grown_s": round(refold_s, 2),
                 },
             }
         ),

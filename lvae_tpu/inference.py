@@ -307,6 +307,63 @@ class CompiledServing:
         )
         jax.block_until_ready(self._basis)
 
+    def refresh_basis(self, new_data, new_labels) -> None:
+        """Fold new TRAINING subjects into the serving basis, in place.
+
+        Cohort growth without the O(P) refold: the cohort operators (H, c)
+        are sums over subject blocks, so the new subjects' blocks are
+        encoded and added incrementally (ops/predict.py
+        extend_predict_basis — equals a full refold at 1e-6). The compiled
+        request executables stay valid: the basis is a runtime argument of
+        fixed ``[L,M,M]/[L,M]`` shape, so no recompile.
+
+        Contract (see extend_predict_basis): ``new_labels`` must carry
+        subject ids NOT already in the basis, and once folded, a subject is
+        a training subject — don't re-send it as "new" in a request.
+        Sibling bundles (``for_k_subjects``) hold their own basis reference:
+        refresh each sibling, or create siblings after refreshing.
+        """
+        from lvae_tpu.data.blocks import build_subject_blocks
+        from lvae_tpu.ops.predict import extend_predict_basis
+
+        pr = self.predictor
+        new_labels = np.asarray(new_labels, np.float32)
+        known = set(np.asarray(pr.basis_labels)[:, pr.id_covariate].tolist())
+        dup = sorted(
+            {float(s) for s in new_labels[:, pr.id_covariate]} & known
+        )
+        if dup:
+            raise ValueError(
+                f"refresh_basis: subject ids {dup[:5]} are already in the "
+                "basis — folding them again would double-count their blocks"
+            )
+        mu_new = self.encode(new_data)[: new_labels.shape[0]]
+        blocks = build_subject_blocks(new_labels, pr.id_covariate)
+        xb = new_labels[blocks.index] * blocks.mask[..., None]
+        mu_b = np.asarray(mu_new, np.float32)[blocks.index]
+        mu_b = mu_b * blocks.mask[..., None]
+        self._basis = jax.jit(
+            lambda kp0, kp1, nz, basis, xb_, mk_, mu_, z_: extend_predict_basis(
+                pr.spec0, pr.spec1, kp0, kp1, nz, basis, xb_, mk_, mu_, z_
+            )
+        )(
+            pr.gp_params.kp0, pr.gp_params.kp1, pr.noise, self._basis,
+            jnp.asarray(xb, jnp.float32),
+            jnp.asarray(blocks.mask, jnp.float32),
+            jnp.asarray(mu_b, jnp.float32),
+            jnp.asarray(pr.z, jnp.float32),
+        )
+        jax.block_until_ready(self._basis)
+        # keep THIS bundle's predictor view consistent (full-recompute path,
+        # later _fold_basis calls, siblings created from now on); the
+        # predictor NamedTuple is immutable, so rebind a grown copy
+        self.predictor = pr._replace(
+            basis_labels=np.concatenate([pr.basis_labels, new_labels]),
+            basis_mu=np.concatenate(
+                [pr.basis_mu, np.asarray(mu_new, pr.basis_mu.dtype)]
+            ),
+        )
+
     def _compile_traj_executable(self, t_obs: int, n_query: int) -> None:
         from lvae_tpu.ops.predict import gp_predict_extend_batch
 

@@ -172,3 +172,59 @@ def test_aot_batch_trajectories_match_full_recompute(tmp_path):
         sib.predict_trajectories(obs_x, obs_lab, query_lab), fast,
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_refresh_basis_matches_grown_bundle(tmp_path):
+    """Bundle lifecycle when the cohort GROWS (VERDICT r3 item 7): folding
+    new training subjects in place (refresh_basis) equals building a fresh
+    bundle on the grown cohort — basis operators AND a subsequent request —
+    with no recompile of the request executable; duplicate ids are
+    rejected."""
+    import pytest
+
+    cfg = make_cfg(str(tmp_path), epochs=2, run_validation=False,
+                   generate_images=False, run_tests=False)
+    ds = healthmnist_like(p=6, t=5, seed=0)
+    pipeline = LVAEPipeline(cfg, {"train": ds})
+    pipeline.build_trainer()
+    pipeline.train()
+    pred = LVAEPredictor.from_pipeline(pipeline)
+
+    # two NEW training subjects to fold in
+    grow = healthmnist_like(p=2, t=5, seed=21)
+    grow.labels[:, 2] += 500.0  # ids not in the basis
+
+    bundle = pred.aot_compile(batch_size=8, t_obs=3, n_query=2)
+    traj_exec_before = bundle._traj
+    bundle.refresh_basis(grow.data, grow.labels)
+    assert bundle._traj is traj_exec_before  # no recompile
+
+    # fresh bundle on the grown cohort: basis_mu must come from the same
+    # encoder view (bundle.encode) the refresh used
+    grown_pred = pred._replace(
+        basis_labels=np.concatenate(
+            [pred.basis_labels, grow.labels.astype(np.float32)]
+        ),
+        basis_mu=np.concatenate([pred.basis_mu, pred.encode(grow.data)]),
+    )
+    fresh = grown_pred.aot_compile(batch_size=8, t_obs=3, n_query=2)
+
+    np.testing.assert_allclose(
+        np.asarray(bundle._basis.h_nojit), np.asarray(fresh._basis.h_nojit),
+        rtol=2e-5, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bundle._basis.c), np.asarray(fresh._basis.c),
+        rtol=2e-5, atol=2e-5,
+    )
+
+    # a request about a brand-new subject answers the same through both
+    new = healthmnist_like(p=1, t=5, seed=9)
+    new.labels[:, 2] = 777.0
+    got = bundle.predict_trajectory(new.data[:3], new.labels[:3], new.labels[3:])
+    want = fresh.predict_trajectory(new.data[:3], new.labels[:3], new.labels[3:])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    # folding an already-present subject id is an error (double-count)
+    with pytest.raises(ValueError, match="double-count"):
+        bundle.refresh_basis(grow.data, grow.labels)

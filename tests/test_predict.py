@@ -244,3 +244,102 @@ def test_extend_batch_equals_full_recompute():
         np.testing.assert_allclose(
             np.asarray(fast), full, rtol=1e-6, atol=1e-9
         )
+
+
+def test_extend_basis_matches_full_refold():
+    """Basis refresh (extend_predict_basis): folding K new TRAINING subjects
+    into an existing basis == precompute_predict_basis on the union cohort
+    at 1e-6 (VERDICT r3 item 7's done criterion), incl. a ragged new band —
+    and a subsequent serving request through the refreshed basis matches the
+    request through the refolded one."""
+    from lvae_tpu.data.blocks import build_subject_blocks
+    from lvae_tpu.ops.predict import (
+        extend_predict_basis,
+        gp_predict_extend_batch,
+        precompute_predict_basis,
+    )
+
+    rng = np.random.default_rng(77)
+    basis_x = build_cohort(rng, [0, 1, 2, 3], (2, 5))
+    L, M = 3, 6
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2], sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2}],
+        id_covariate=2,
+    )
+    kp0 = kx.init_kernel_params(spec0, latent_dim=L, dtype=jnp.float64)
+    kp1 = kx.init_kernel_params(spec1, latent_dim=L, dtype=jnp.float64)
+    kp0 = kp0._replace(
+        raw_scale=kp0.raw_scale + 0.2 * rng.normal(size=kp0.raw_scale.shape))
+    kp1 = kp1._replace(
+        raw_scale=kp1.raw_scale + 0.2 * rng.normal(size=kp1.raw_scale.shape))
+    noise = jnp.asarray(0.6 + rng.uniform(0, 0.4, size=L))
+    n = basis_x.shape[0]
+    z = jnp.asarray(
+        basis_x[rng.choice(n, M, replace=False)]
+        + 0.01 * rng.normal(size=(M, 4))
+    )
+    basis_mu = rng.normal(size=(n, L))
+
+    def fold(x, mu):
+        blocks = build_subject_blocks(x, 2)
+        xb = jnp.asarray(x[blocks.index] * blocks.mask[..., None])
+        mu_b = jnp.asarray(mu[blocks.index] * blocks.mask[..., None])
+        return precompute_predict_basis(
+            spec0, spec1, kp0, kp1, noise, xb,
+            jnp.asarray(blocks.mask, jnp.float64), mu_b, z, eps=EPS,
+        )
+
+    base = fold(basis_x, basis_mu)
+
+    # two new training subjects, ragged (3 and 2 real rows in a T=3 pad)
+    t_pad = 3
+    x_new = np.zeros((2, t_pad, 4))
+    mask_new = np.zeros((2, t_pad))
+    mu_new = np.zeros((2, t_pad, L))
+    flat_x, flat_mu = [], []
+    for j, tl in enumerate((3, 2)):
+        xo = build_cohort(rng, [200 + j], (t_pad, t_pad + 1))[:tl]
+        mo = rng.normal(size=(tl, L))
+        x_new[j, :tl] = xo
+        mask_new[j, :tl] = 1.0
+        mu_new[j, :tl] = mo
+        flat_x.append(xo)
+        flat_mu.append(mo)
+
+    grown = extend_predict_basis(
+        spec0, spec1, kp0, kp1, noise, base,
+        jnp.asarray(x_new), jnp.asarray(mask_new), jnp.asarray(mu_new), z,
+    )
+    refold = fold(
+        np.concatenate([basis_x] + flat_x),
+        np.concatenate([basis_mu] + flat_mu),
+    )
+    np.testing.assert_allclose(
+        np.asarray(grown.h_nojit), np.asarray(refold.h_nojit),
+        rtol=1e-6, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grown.c), np.asarray(refold.c), rtol=1e-6, atol=1e-9
+    )
+
+    # a serving request through the refreshed basis == through the refold
+    t_obs, n_q = 3, 2
+    xo = build_cohort(rng, [300], (t_obs, t_obs + 1))[:t_obs]
+    mo = rng.normal(size=(t_obs, L))
+    q = build_cohort(rng, [300], (n_q, n_q + 1))[:n_q]
+    q[:, 0] += 10.0
+    args = (
+        jnp.asarray(xo)[None], jnp.ones((1, t_obs), jnp.float64),
+        jnp.asarray(mo)[None], jnp.asarray(q)[None],
+        jnp.ones((1, n_q), jnp.float64), z,
+    )
+    via_grown = gp_predict_extend_batch(
+        spec0, spec1, kp0, kp1, noise, grown, *args
+    )
+    via_refold = gp_predict_extend_batch(
+        spec0, spec1, kp0, kp1, noise, refold, *args
+    )
+    np.testing.assert_allclose(
+        np.asarray(via_grown), np.asarray(via_refold), rtol=1e-6, atol=1e-9
+    )
