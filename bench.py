@@ -483,7 +483,8 @@ def _bench_digest():
         if (k.startswith("BENCH_") and k != "BENCH_NO_PROBE")
         or k in (  # module switches
             "LVAE_OPT", "LVAE_S2D", "LVAE_BCHAIN", "LVAE_BCHAIN_BM",
-            "LVAE_STACK_CHOL", "LVAE_PREGATHER", "LVAE_OVERLAP",
+            "LVAE_BCHAIN_T96", "LVAE_STACK_CHOL", "LVAE_PREGATHER",
+            "LVAE_OVERLAP",
         )
     )
     h.update(repr(env).encode())

@@ -42,7 +42,18 @@ from lvae_tpu.kernels_pallas.kernel_matrix import (
 from lvae_tpu.ops import kernels as kx
 
 _LANE = 128
-MAX_T = 64  # VMEM: ~5 [T, T, 128] f32 buffers live; T=64 ≈ 10.5 MB of ~16 MB
+# VMEM: the fully-fused kernel holds ~5 [T, T, 128] f32 buffers (K0, K1/B,
+# L, M, B⁻¹ out); T=64 ≈ 10.5 MB of the ~16 MB budget, T=90 measured 22.8 MB
+# (compile-time OOM). Longer blocks (Physionet-like stays up to ~90 hourly
+# timepoints) run the SPLIT path instead: the same kernel minus the trace
+# side (B build → chol → B⁻¹ → log|B|; peak ~3 buffers, T=96 ≈ 14.2 MB)
+# with K0 block build + tr(B⁻¹K0) left to XLA — one extra HBM pass over
+# K0 (~10 MB/epoch at T=90), no second factorization. Lane-halving (64-wide
+# blocks) is NOT a fix: VMEM tiles are (8,128), a 64-lane last dim pads to
+# 128 and saves nothing. VERDICT r3 item 6; on-chip A/B in
+# benchmarks/README.md "fast-path A/B round 8".
+MAX_T_FULL_LANE = 64
+MAX_T = 96
 
 # Batch-major output: emit B⁻¹ as [L·S, T, T] straight from the kernel (the
 # lane→sublane transpose happens in VMEM) instead of [T, T, L·S] + an XLA
@@ -71,17 +82,51 @@ def _batch_major_active() -> bool:
     return use_batch_major_out
 
 
-def _make_body(spec0: kx.KernelSpec, spec1: kx.KernelSpec, T: int,
+# Long-T (64 < T <= MAX_T) routing: run the split-fusion path (B-inverse
+# kernel + XLA trace side), or fall back to the full XLA chain as before.
+# Default set by the on-chip A/B (tools/ab_t90_bchain.py; recorded in
+# benchmarks/README.md "fast-path A/B round 8"). None → auto; env
+# LVAE_BCHAIN_T96=1/0/auto forces.
+LONG_T_AUTO_DEFAULT = True
+use_long_t_halves = None
+_lt_env = os.environ.get("LVAE_BCHAIN_T96", "").strip().lower()
+if _lt_env in ("1", "true", "on"):
+    use_long_t_halves = True
+elif _lt_env in ("0", "false", "off"):
+    use_long_t_halves = False
+elif _lt_env not in ("", "auto", "none"):
+    raise ValueError(
+        f"LVAE_BCHAIN_T96={os.environ['LVAE_BCHAIN_T96']!r}: expected 1/0/auto"
+    )
+
+
+def _long_t_active() -> bool:
+    if use_long_t_halves is None:
+        return LONG_T_AUTO_DEFAULT
+    return use_long_t_halves
+
+
+def _make_body(spec0, spec1: kx.KernelSpec, T: int,
                batch_major: bool = False):
-    def body(x_ref, m_ref, s0_ref, g0_ref, s1_ref, g1_ref, nz_ref,
-             ib_ref, logdet_ref, tr_ref):
+    """Kernel body. With ``spec0=None`` the trace side (K0 build +
+    tr(B⁻¹K0)) is omitted — the long-T split path (see ``_b_chain_pallas``)
+    computes it in XLA so the kernel's peak VMEM drops from ~5 to ~3
+    [T,T,128] buffers and T<=MAX_T fits the 16 MB budget."""
+    with_trace = spec0 is not None
+
+    def body(x_ref, m_ref, *refs):
+        if with_trace:
+            s0_ref, g0_ref, s1_ref, g1_ref, nz_ref, ib_ref, logdet_ref, tr_ref = refs
+        else:
+            s0_ref = g0_ref = tr_ref = None
+            s1_ref, g1_ref, nz_ref, ib_ref, logdet_ref = refs
         x = x_ref[:]  # [Q, T, Bt] covariate value at time t, per batch lane
         m = m_ref[:]  # [T, Bt]
         bt = m.shape[1]
         mm = m[:, None, :] * m[None, :, :]  # [T, T, Bt]
 
-        def accumulate(comps, s_ref, g_ref):
-            acc = jnp.zeros((T, T, bt), jnp.float32)
+        def accumulate(comps, s_ref, g_ref, init=None):
+            acc = init if init is not None else jnp.zeros((T, T, bt), jnp.float32)
             for c, comp in enumerate(comps):
                 acc = acc + component_term(
                     comp,
@@ -93,16 +138,22 @@ def _make_body(spec0: kx.KernelSpec, spec1: kx.KernelSpec, T: int,
                 )
             return acc
 
-        k0 = accumulate(spec0.components, s0_ref, g0_ref)
-        k1 = accumulate(spec1.components, s1_ref, g1_ref)
+        k0 = accumulate(spec0.components, s0_ref, g0_ref) if with_trace else None
 
-        # B = K1 + diag(mask·σ² + (1−mask)) — unit pivots on padding
-        # (ops/kernels.block_b_operator semantics)
+        # B = diag(mask·σ² + (1−mask)) + K1 — unit pivots on padding
+        # (ops/kernels.block_b_operator semantics). The diag term SEEDS the
+        # K1 accumulator instead of adding to a finished K1 stack: a
+        # separate K1 value kept a dead [T,T,128] buffer live through the
+        # Cholesky loop, pushing the T=90 split kernel 560 KB over the
+        # 16 MB VMEM limit (measured; benchmarks/README.md round 8).
         diagv = m * nz_ref[0][None, :] + (1.0 - m)  # [T, Bt]
         row3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, 1), 0)
         col3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, 1), 1)
         eye3 = (row3 == col3).astype(jnp.float32)
-        b = k1 + eye3 * diagv[:, None, :]
+        b = accumulate(
+            spec1.components, s1_ref, g1_ref,
+            init=eye3 * diagv[:, None, :],
+        )
 
         # --- column Cholesky, unrolled (kernels_pallas/cholesky.py recipe),
         # accumulating log|B| = Σ log pivot on the fly
@@ -150,9 +201,11 @@ def _make_body(spec0: kx.KernelSpec, spec1: kx.KernelSpec, T: int,
                 ib_ref[:, i, :] = jnp.swapaxes(inv_row, 0, 1)
             else:
                 ib_ref[i, :] = inv_row
-            tr = tr + jnp.sum(inv_row * k0[i], axis=0)
+            if with_trace:
+                tr = tr + jnp.sum(inv_row * k0[i], axis=0)
         logdet_ref[0] = logdet
-        tr_ref[0] = tr
+        if with_trace:
+            tr_ref[0] = tr
 
     return body
 
@@ -167,7 +220,11 @@ def _b_chain_pallas(spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
     s_dim, t_dim, q = xb.shape
     l = s0.shape[0]
     b = l * s_dim
-    pad = (-b) % _LANE
+    # long blocks: split path (B-inverse kernel + XLA trace side) — see the
+    # MAX_T note above
+    split = t_dim > MAX_T_FULL_LANE
+    lane = _LANE
+    pad = (-b) % lane
     bp = b + pad
 
     def lanes(a2):  # [..., B] → padded [..., Bp]
@@ -199,41 +256,55 @@ def _b_chain_pallas(spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
 
     c0 = len(spec0.components)
     c1 = len(spec1.components)
-    grid = (bp // _LANE,)
+    grid = (bp // lane,)
     if batch_major:
-        ib_spec = pl.BlockSpec((_LANE, t_dim, t_dim), lambda i: (i, 0, 0),
+        ib_spec = pl.BlockSpec((lane, t_dim, t_dim), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
         ib_shape = jax.ShapeDtypeStruct((bp, t_dim, t_dim), jnp.float32)
     else:
-        ib_spec = pl.BlockSpec((t_dim, t_dim, _LANE), lambda i: (0, 0, i),
+        ib_spec = pl.BlockSpec((t_dim, t_dim, lane), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM)
         ib_shape = jax.ShapeDtypeStruct((t_dim, t_dim, bp), jnp.float32)
-    ib_t, logdet, tr = pl.pallas_call(
-        _make_body(spec0, spec1, t_dim, batch_major=batch_major),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((q, t_dim, _LANE), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_dim, _LANE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c0, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c0, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c1, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c1, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            ib_spec,
-            pl.BlockSpec((1, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            ib_shape,
-            jax.ShapeDtypeStruct((1, bp), jnp.float32),
-            jax.ShapeDtypeStruct((1, bp), jnp.float32),
-        ),
-        interpret=interpret,
-    )(xr, mr, per_lane(s0), per_lane(g0), per_lane(s1), per_lane(g1), nzr)
+
+    def lanespec(rows):
+        return pl.BlockSpec((rows, lane), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    common_in = [
+        pl.BlockSpec((q, t_dim, lane), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        lanespec(t_dim),
+    ]
+    scalar_shape = jax.ShapeDtypeStruct((1, bp), jnp.float32)
+    if split:
+        # the compiler's DEFAULT scoped-VMEM budget is 16 MB; the split
+        # kernel's measured peak at T=90 is 16.55 MB (4 live [T,T,128]
+        # buffers). v5e cores have 128 MB of physical VMEM — raise the
+        # scoped budget for this call instead of shrinking T
+        ib_t, logdet = pl.pallas_call(
+            _make_body(None, spec1, t_dim, batch_major=batch_major),
+            grid=grid,
+            in_specs=common_in + [lanespec(c1), lanespec(c1), lanespec(1)],
+            out_specs=(ib_spec, lanespec(1)),
+            out_shape=(ib_shape, scalar_shape),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+        )(xr, mr, per_lane(s1), per_lane(g1), nzr)
+        tr = None
+    else:
+        ib_t, logdet, tr = pl.pallas_call(
+            _make_body(spec0, spec1, t_dim, batch_major=batch_major),
+            grid=grid,
+            in_specs=common_in + [
+                lanespec(c0), lanespec(c0), lanespec(c1), lanespec(c1),
+                lanespec(1),
+            ],
+            out_specs=(ib_spec, lanespec(1), lanespec(1)),
+            out_shape=(ib_shape, scalar_shape, scalar_shape),
+            interpret=interpret,
+        )(xr, mr, per_lane(s0), per_lane(g0), per_lane(s1), per_lane(g1), nzr)
 
     if batch_major:
         # [Bp, T, T] → [L, S, T, T] is a pure reshape of the leading axis
@@ -243,7 +314,19 @@ def _b_chain_pallas(spec0, spec1, s0, g0, s1, g1, noise, xb, mask,
             l, s_dim, t_dim, t_dim
         )
     logdet_l = jnp.sum(logdet[0, :b].reshape(l, s_dim), axis=1)
-    tr_l = jnp.sum(tr[0, :b].reshape(l, s_dim), axis=1)
+    if split:
+        # trace side in XLA: one K0-stack pass over HBM — same component
+        # math as the kernel's accumulate (masked_block_stack is also the
+        # backward's builder, so the two sides agree bit-for-bit)
+        xf = xb.astype(jnp.float32)
+        mf = mask.astype(jnp.float32)
+        mm3 = mf[:, :, None] * mf[:, None, :]
+        k0m = masked_block_stack(
+            spec0, s0.astype(jnp.float32), g0.astype(jnp.float32), xf, mm3
+        )
+        tr_l = jnp.einsum("lstu,lstu->l", ib, k0m)
+    else:
+        tr_l = jnp.sum(tr[0, :b].reshape(l, s_dim), axis=1)
     return ib, logdet_l, tr_l
 
 
@@ -469,10 +552,11 @@ def usable(spec0, spec1, kp0, xb, dtype) -> bool:
     """Shape/dtype gate (VMEM + layout constraints of the kernel); falls
     back to the XLA chain in ops/elbo.gp_block_operators otherwise (same
     math either way — elbo_functions.py:54-74)."""
+    cap = MAX_T if _long_t_active() else MAX_T_FULL_LANE
     return (
         dtype == jnp.float32
         and kp0.raw_scale.ndim == 2
         and len(spec0.components) > 0
         and len(spec1.components) > 0
-        and 2 <= xb.shape[1] <= MAX_T
+        and 2 <= xb.shape[1] <= cap
     )

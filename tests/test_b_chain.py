@@ -329,3 +329,63 @@ def test_batch_major_matches_xla(bchain_on, batch_major_on):
     np.testing.assert_allclose(
         np.asarray(tr1), np.asarray(tr0), rtol=2e-5, atol=2e-5
     )
+
+
+def test_long_t_lane_packed_halves(bchain_on):
+    """64 < T <= MAX_T runs the kernel lane-packed-halved (64-wide lane
+    blocks — VMEM fits where full 128-lane packing cannot): forward outputs
+    AND parameter gradients match the XLA chain at T=90 (VERDICT r3 item 6)."""
+    from lvae_tpu.kernels_pallas import b_chain as bc
+
+    assert bc._long_t_active(), "long-T routing must be the measured default"
+    args = make_inputs(s=4, t=90, latent=2, seed=1)
+    ib0, ld0, tr0 = xla_reference(*args)
+    ib1, ld1, tr1 = bc.b_chain_operators(*args)
+    np.testing.assert_allclose(np.asarray(ib1), np.asarray(ib0), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ld1), np.asarray(ld0), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(tr1), np.asarray(tr0), rtol=2e-4, atol=2e-4
+    )
+
+    spec0, spec1, kp0, kp1, noise, xb, mask = args
+
+    def loss(fn, kp0, kp1, noise):
+        ib, ld, tr = fn(spec0, spec1, kp0, kp1, noise, xb, mask)
+        w = jnp.arange(ib.size, dtype=ib.dtype).reshape(ib.shape) / ib.size
+        return jnp.sum(ib * w) + jnp.sum(ld * 0.7) + jnp.sum(tr * 1.3)
+
+    g0 = jax.grad(lambda *a: loss(xla_reference, *a), argnums=(0, 1, 2))(
+        kp0, kp1, noise
+    )
+    g1 = jax.grad(lambda *a: loss(bc.b_chain_operators, *a), argnums=(0, 1, 2))(
+        kp0, kp1, noise
+    )
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5
+        )
+
+
+def test_long_t_per_bucket_routing():
+    """usable() routes per bucket shape: a T<=64 bucket always takes the
+    fused chain, a 64<T<=MAX_T bucket takes it iff the long-T switch is on,
+    T>MAX_T always falls back to XLA."""
+    from lvae_tpu.kernels_pallas import b_chain as bc
+
+    spec0, spec1, kp0, *_ = make_inputs()
+
+    def can(t):
+        return bc.usable(
+            spec0, spec1, kp0, jnp.zeros((3, t, 4), jnp.float32), jnp.float32
+        )
+
+    old = bc.use_long_t_halves
+    try:
+        bc.use_long_t_halves = True
+        assert can(20) and can(64) and can(65) and can(90) and can(bc.MAX_T)
+        assert not can(bc.MAX_T + 1)
+        bc.use_long_t_halves = False
+        assert can(20) and can(64)
+        assert not can(65) and not can(90)
+    finally:
+        bc.use_long_t_halves = old
