@@ -33,10 +33,11 @@ EPOCHS_TIMED = 4
 
 # Poster-scale entry (VERDICT r3 item 1): the paper's actual cohort is 1000
 # individuals (Health_MNIST_generate.py:89-93 / images/poster_L-VAE.png).
-# subjects_per_batch=100 is the measured throughput knee from the on-chip
-# sweep (tools/p1000_sweep.py; table in benchmarks/README.md).
+# subjects_per_batch=50 is the measured throughput knee from the on-chip
+# sweep (tools/p1000_sweep.py: 96.2/69.1/69.8/74.1 ms/epoch at spb
+# 20/50/100/200; table in benchmarks/README.md).
 P1000 = 1000
-P1000_SPB = int(os.environ.get("BENCH_P1000_SPB", "100"))
+P1000_SPB = int(os.environ.get("BENCH_P1000_SPB", "50"))
 
 
 def synth_cohort(seed=0, n_subjects=P):

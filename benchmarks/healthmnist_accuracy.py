@@ -75,6 +75,11 @@ def main(argv=None):
                         "*.jpg) — the paper protocol verbatim; train/test "
                         "cohorts draw disjoint instance files. Omitted = "
                         "procedural glyphs (indicative-only numbers)")
+    p.add_argument("--model_dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="VAE compute dtype (GP algebra stays f32 regardless; "
+                   "bf16 is the measured P=1000 throughput lever — "
+                   "benchmarks/README.md 'fast-path A/B round 9')")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--dump_state", type=str, default=None,
                    help="pickle trained state + eval arrays for offline analysis")
@@ -138,7 +143,12 @@ def main(argv=None):
     )
 
     # ---- model + kernel structure (config/LVAE_config_sample.txt:40-45)
-    model = ConvVAE(latent_dim=a.latent_dim, num_dim=36 * 36, p=0.0)
+    import jax.numpy as jnp
+
+    model = ConvVAE(
+        latent_dim=a.latent_dim, num_dim=36 * 36, p=0.0,
+        dtype=jnp.bfloat16 if a.model_dtype == "bfloat16" else jnp.float32,
+    )
     spec0, spec1 = kx.split_kernel_spec(
         cat_kernel=[2],
         sqexp_kernel=[0],

@@ -30,10 +30,15 @@ enable_compile_cache()
 
 def build_trainer():
     # single source with the benchmark: measure_roofline must profile the
-    # SAME program bench.py reports
-    from bench import build_bench_trainer
+    # SAME program bench.py reports. ROOFLINE_P/ROOFLINE_SPB select the
+    # poster-scale entry (e.g. P=1000, spb=50 — bench.P1000_SPB).
+    import bench
 
-    return build_bench_trainer()
+    p = int(os.environ.get("ROOFLINE_P", "0"))
+    if p:
+        spb = int(os.environ.get("ROOFLINE_SPB", str(bench.P1000_SPB)))
+        return bench.build_bench_trainer(n_subjects=p, spb=spb)
+    return bench.build_bench_trainer()
 
 
 def gviz_rows(table):
