@@ -485,7 +485,7 @@ def _bench_digest():
         or k in (  # module switches
             "LVAE_OPT", "LVAE_S2D", "LVAE_BCHAIN", "LVAE_BCHAIN_BM",
             "LVAE_BCHAIN_T96", "LVAE_STACK_CHOL", "LVAE_PREGATHER",
-            "LVAE_OVERLAP",
+            "LVAE_FLATGATHER", "LVAE_OVERLAP",
         )
     )
     h.update(repr(env).encode())

@@ -72,6 +72,39 @@ def _pregather_active(mesh) -> bool:
     return PREGATHER_AUTO_DEFAULT
 
 
+# Flat-view minibatch gather: gather frame rows from a 2-D [N, H·W] view of
+# the table and reshape the small batch back to NHWC, instead of gathering
+# from the 4-D table directly. XLA propagates the conv's batch-minor layout
+# ({0,3,2,1}) into the whole table, which turns the row gather into a
+# strided walk — the P=1000 trace's #1 self-time op (fusion.626: 414 µs
+# /batch at 23 GB/s, 12 % of the epoch). The 2-D view keeps rows contiguous
+# (the gather runs near memcpy speed); the batch pays one small relayout
+# copy into the conv layout instead (measured 576 GB/s). Values identical
+# (pure layout). On-chip A/B (benchmarks/README.md "fast-path A/B round
+# 10"): P=1000 68.9 → 65.9 ms/epoch (−4.3 %), but P=200 13.44 → 13.88
+# (+3.3 % — op-latency-bound, the extra copy op costs more than the small
+# table's gather) — so the auto gate is SHAPE-KEYED: flat gather engages
+# when the frame table has ≥ FLATGATHER_MIN_ROWS rows (between the two
+# measured scales). Env override LVAE_FLATGATHER=0/1 forces either way.
+use_flat_gather: Optional[bool] = None
+FLATGATHER_MIN_ROWS = 10_000  # 4k rows measured negative, 20k positive
+_fg_env = os.environ.get("LVAE_FLATGATHER", "").strip().lower()
+if _fg_env in ("1", "true", "on"):
+    use_flat_gather = True
+elif _fg_env in ("0", "false", "off"):
+    use_flat_gather = False
+elif _fg_env:
+    raise ValueError(
+        f"LVAE_FLATGATHER={os.environ['LVAE_FLATGATHER']!r}: expected 0/1"
+    )
+
+
+def _flat_gather_active(n_rows: int) -> bool:
+    if use_flat_gather is not None:
+        return use_flat_gather
+    return n_rows >= FLATGATHER_MIN_ROWS
+
+
 # Overlapped chunk dispatch: ``fit`` without a callback dispatches chunk k+1
 # BEFORE materialising chunk k's metrics (a one-chunk lag). The remote-relay
 # execute round trip (~103.5 ms/dispatch, tools/chunk_sweep.py) then overlaps
@@ -182,7 +215,16 @@ def batch_loss(
     s, t = idx.shape
     if pre is None:
         flat_idx = idx.reshape(-1)
-        x = jnp.take(tdata.data, flat_idx, axis=0)
+        if tdata.data.ndim > 2 and _flat_gather_active(tdata.data.shape[0]):
+            # gather rows from the 2-D view (see use_flat_gather above);
+            # the whole-table reshape is loop-invariant — XLA hoists the
+            # one relayout copy out of the batch/epoch scans
+            n_rows = tdata.data.shape[0]
+            x = jnp.take(
+                tdata.data.reshape(n_rows, -1), flat_idx, axis=0
+            ).reshape((flat_idx.shape[0],) + tdata.data.shape[1:])
+        else:
+            x = jnp.take(tdata.data, flat_idx, axis=0)
         labels = jnp.take(tdata.labels, flat_idx, axis=0)
         pixmask = jnp.take(tdata.pixmask, flat_idx, axis=0)
     else:
@@ -619,6 +661,7 @@ class HensmanTrainer:
             (bc.use_long_t_halves, bc.LONG_T_AUTO_DEFAULT),
             eb.use_stacked_mm_chol,
             (use_epoch_pregather, PREGATHER_AUTO_DEFAULT),
+            (use_flat_gather, FLATGATHER_MIN_ROWS),
             n,
         )
 

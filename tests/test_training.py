@@ -481,3 +481,35 @@ def test_overlapped_fit_standard_and_vi_match_synced():
     np.testing.assert_array_equal(mu_a, mu_b)
     np.testing.assert_array_equal(mup_a, mup_b)
     np.testing.assert_array_equal(lvp_a, lvp_b)
+
+
+def test_flat_gather_trajectory_identical():
+    """The 2-D-view minibatch gather (train/hensman.use_flat_gather — the
+    P=1000 layout fix, 'fast-path A/B round 10') gathers the SAME rows: the
+    conv-model training trajectory matches the 4-D gather path exactly."""
+    def run(flag, epochs=2):
+        old = th.use_flat_gather
+        th.use_flat_gather = flag
+        try:
+            ds = tiny_cohort(p=6, t=4, conv=True)
+            blocks = build_subject_blocks(ds.labels, id_covariate=2)
+            cfg = make_cfg(True)
+            model = mv.ConvVAE(latent_dim=cfg.latent_dim, num_dim=36 * 36, p=0.0)
+            z = st.init_inducing_points(ds.labels, m_inducing=8, seed=0)
+            tr = th.HensmanTrainer(
+                model, cfg, ds, blocks, z, subjects_per_batch=3, seed=0
+            )
+            nets = [tr.run_epoch().net for _ in range(epochs)]
+            return nets, tr.state.trainables
+        finally:
+            th.use_flat_gather = old
+
+    nets0, tr0 = run(False)
+    nets1, tr1 = run(True)
+    np.testing.assert_allclose(nets1, nets0, rtol=1e-6)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(tr0), jax.tree.leaves(tr1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7
+        )
