@@ -240,3 +240,28 @@ def test_divisibility_guard_replicates_unaligned_dims():
     sh2 = NamedSharding(mesh, P(("data", "latent")))
     assert bc._entry_if_divides(sh2, 0, 16) == ("data", "latent")
     assert bc._entry_if_divides(sh2, 0, 12) is None
+
+
+def test_partitioned_long_t_split_path():
+    """The long-T split-fusion route (64 < T <= MAX_T: B-inverse kernel +
+    XLA trace side) keeps the partitioning rule intact — the per-shard
+    lower_fn computes tr(B⁻¹K0) from its LOCAL shard and the psum over the
+    S-sharding axes completes it, same as the fully-fused path."""
+    mesh = make_mesh(2, 1)
+    spec0, spec1, kp0, kp1, noise, xb, mask = make_inputs(
+        s=4, t=70, latent=2, seed=5
+    )
+    assert xb.shape[1] > bc.MAX_T_FULL_LANE  # must exercise the split route
+    ib0, ld0, tr0 = xla_reference(spec0, spec1, kp0, kp1, noise, xb, mask)
+
+    kp0s, kp1s, ns, xbs, ms = _shard_args(mesh, kp0, kp1, noise, xb, mask)
+    fn = jax.jit(functools.partial(bc.b_chain_operators, spec0, spec1))
+    with mesh, la.pallas_suppressed():
+        ib1, ld1, tr1 = fn(kp0s, kp1s, ns, xbs, ms)
+
+    np.testing.assert_allclose(np.asarray(ib1), np.asarray(ib0), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ld1), np.asarray(ld0), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(tr1), np.asarray(tr0), rtol=2e-4, atol=2e-4
+    )
+    assert tuple(ib1.sharding.spec)[:2] == (None, "data")
