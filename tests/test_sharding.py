@@ -650,3 +650,44 @@ def test_unaligned_predict_inputs_warn():
         w.simplefilter("always")
         pm._put_axis_or_replicate(np.zeros((9, 3)), mesh, "data")
     assert any("does not divide" in str(r.message) for r in rec)
+
+
+def test_sharded_matches_single_device_flat_gather():
+    """The flat-view minibatch gather (train/hensman.use_flat_gather — the
+    P=1000 layout fix; its shape-keyed auto gate never fires on test-sized
+    cohorts, so force it) is semantics-preserving under a mesh: the sharded
+    trainer still reproduces the single-device numbers. SimpleVAE data is
+    2-D (the gather is a no-op reshape), so use a conv cohort."""
+    import jax.numpy as jnp
+
+    def build(flag):
+        old = th.use_flat_gather
+        th.use_flat_gather = flag
+        try:
+            ds = tiny_cohort(p=8, t=4, conv=True)
+            blocks = build_subject_blocks(ds.labels, id_covariate=2)
+            cfg = make_cfg(True, p=8, t=4, latent_dim=4)
+            model = mv.ConvVAE(latent_dim=4, num_dim=36 * 36, p=0.0,
+                               dtype=jnp.float64)
+            z = st.init_inducing_points(ds.labels, m_inducing=6, seed=0)
+            tr = th.HensmanTrainer(
+                model, cfg, ds, blocks, z, subjects_per_batch=4, seed=0,
+                dtype=jnp.float64,
+            )
+            return tr
+        finally:
+            th.use_flat_gather = old
+
+    old = th.use_flat_gather
+    th.use_flat_gather = True
+    try:
+        ref = build(True)
+        ref_hist = run_epochs(ref, n=2)
+        trainer = build(True)
+        sharded = ShardedHensmanTrainer(trainer, make_mesh(4, 2))
+        got_hist = run_epochs(sharded, n=2)
+    finally:
+        th.use_flat_gather = old
+    for a, b in zip(ref_hist, got_hist):
+        np.testing.assert_allclose(a.net, b.net, rtol=1e-8)
+        np.testing.assert_allclose(a.kld, b.kld, rtol=1e-8)
