@@ -79,13 +79,16 @@ def _pregather_active(mesh) -> bool:
 # strided walk — the P=1000 trace's #1 self-time op (fusion.626: 414 µs
 # /batch at 23 GB/s, 12 % of the epoch). The 2-D view keeps rows contiguous
 # (the gather runs near memcpy speed); the batch pays one small relayout
-# copy into the conv layout instead (measured 576 GB/s). Values identical
-# (pure layout). On-chip A/B (benchmarks/README.md "fast-path A/B round
-# 10"): P=1000 68.9 → 65.9 ms/epoch (−4.3 %), but P=200 13.44 → 13.88
-# (+3.3 % — op-latency-bound, the extra copy op costs more than the small
-# table's gather) — so the auto gate is SHAPE-KEYED: flat gather engages
-# when the frame table has ≥ FLATGATHER_MIN_ROWS rows (between the two
-# measured scales). Env override LVAE_FLATGATHER=0/1 forces either way.
+# copy into the conv layout instead (measured 576 GB/s). The table is
+# flattened ONCE at the top of epochs_fn — an in-scan reshape is NOT
+# hoisted by XLA and ran the whole-table copy per step (measured 3×
+# regression at P=10k). Values identical (pure layout). On-chip A/B
+# (benchmarks/README.md "fast-path A/B round 10"): P=1000 68.9 →
+# 58.2 ms/epoch (−15.5 %), P=10k 784 → 693 ms, but P=200 slightly worse
+# (op-latency-bound, the extra copy op costs more than the small table's
+# gather) — so the auto gate is SHAPE-KEYED: flat gather engages when the
+# frame table has ≥ FLATGATHER_MIN_ROWS rows (between the two measured
+# scales). Env override LVAE_FLATGATHER=0/1 forces either way.
 use_flat_gather: Optional[bool] = None
 FLATGATHER_MIN_ROWS = 10_000  # 4k rows measured negative, 20k positive
 _fg_env = os.environ.get("LVAE_FLATGATHER", "").strip().lower()
@@ -201,6 +204,7 @@ def batch_loss(
     rng: jax.Array,
     mesh=None,
     pre: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+    frame_shape: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[jax.Array, Tuple[StepMetrics, Optional[eb.NaturalGradients]]]:
     """Net loss of one subject batch (training.py:103-124 semantics).
 
@@ -215,22 +219,19 @@ def batch_loss(
     s, t = idx.shape
     if pre is None:
         flat_idx = idx.reshape(-1)
-        if tdata.data.ndim > 2 and _flat_gather_active(tdata.data.shape[0]):
-            # gather rows from the 2-D view (see use_flat_gather above);
-            # the whole-table reshape is loop-invariant — XLA hoists the
-            # one relayout copy out of the batch/epoch scans
-            n_rows = tdata.data.shape[0]
-            x = jnp.take(
-                tdata.data.reshape(n_rows, -1), flat_idx, axis=0
-            ).reshape((flat_idx.shape[0],) + tdata.data.shape[1:])
-        else:
-            x = jnp.take(tdata.data, flat_idx, axis=0)
+        x = jnp.take(tdata.data, flat_idx, axis=0)
         labels = jnp.take(tdata.labels, flat_idx, axis=0)
         pixmask = jnp.take(tdata.pixmask, flat_idx, axis=0)
     else:
         # epoch pre-gather (``use_epoch_pregather``): the scan already sliced
         # this batch's rows out of the whole-epoch stacks — same values
         x, labels, pixmask = pre
+    if frame_shape is not None and x.ndim == 2:
+        # flat-view gather (``use_flat_gather``): the table was flattened
+        # ONCE at the top of epochs_fn — restore the frame shape on the
+        # small batch only (the conv relayout then touches the batch, not
+        # the table)
+        x = x.reshape((x.shape[0],) + frame_shape)
     valid = bmask.reshape(-1)
 
     k_drop, k_sample = jax.random.split(rng)
@@ -353,6 +354,18 @@ def make_epochs_fn(
 
     @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
     def epochs_fn(state, tdata, n_epochs: int):
+        # flat-view gather (``use_flat_gather``): flatten the frame table
+        # ONCE here, outside both scans — the relayout copy away from the
+        # conv's batch-minor layout is paid per dispatch, not per step
+        # (measured: an in-scan reshape was NOT hoisted by XLA and cost 3×
+        # at P=10k). batch_loss restores ``frame_shape`` on each batch.
+        frame_shape = None
+        if tdata.data.ndim > 2 and _flat_gather_active(tdata.data.shape[0]):
+            frame_shape = tdata.data.shape[1:]
+            tdata = tdata._replace(
+                data=tdata.data.reshape(tdata.data.shape[0], -1)
+            )
+
         def make_step(table, pregather: bool):
             p_real = table.num_real
 
@@ -372,7 +385,7 @@ def make_epochs_fn(
                     lambda tr: batch_loss(
                         model, cfg, tr, state.m_nat, state.H_nat,
                         tdata, b_idx, b_mask, p_batch, step_key, mesh=mesh,
-                        pre=pre,
+                        pre=pre, frame_shape=frame_shape,
                     ),
                     has_aux=True,
                 )
