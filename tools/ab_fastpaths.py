@@ -50,6 +50,16 @@ ARMS = {
     # relayouts of the lanes-major stack (~8.5 ms of the 329 ms r3 chunk)
     "bm": {"LVAE_BCHAIN_BM": "1"},
     "nobm": {"LVAE_BCHAIN_BM": "0"},
+    # flat-view minibatch gather (train/hensman.use_flat_gather): 2-D
+    # row-contiguous table view, flattened once per dispatch — the r4
+    # P=1000 layout fix (shape-keyed default: ≥10k-row tables)
+    "fg": {"LVAE_FLATGATHER": "1"},
+    "nofg": {"LVAE_FLATGATHER": "0"},
+    # long-T split-fusion B-chain (kernels_pallas/b_chain, 64<T<=96):
+    # only bites on bucketed ragged cohorts — pair with
+    # tools/ab_t90_bchain.py for the dedicated workload
+    "t96": {"LVAE_BCHAIN_T96": "1"},
+    "not96": {"LVAE_BCHAIN_T96": "0"},
 }
 
 
