@@ -389,3 +389,19 @@ def test_long_t_per_bucket_routing():
         assert not can(65) and not can(90)
     finally:
         bc.use_long_t_halves = old
+
+
+def test_long_t_batch_major_matches_xla(bchain_on, batch_major_on):
+    """Batch-major emit × the long-T split path (both non-default layout
+    paths composed) still matches the XLA chain."""
+    from lvae_tpu.kernels_pallas import b_chain as bc
+
+    args = make_inputs(s=4, t=70, latent=2, seed=3)
+    assert args[5].shape[1] > bc.MAX_T_FULL_LANE
+    ib0, ld0, tr0 = xla_reference(*args)
+    ib1, ld1, tr1 = bc.b_chain_operators(*args)
+    np.testing.assert_allclose(np.asarray(ib1), np.asarray(ib0), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ld1), np.asarray(ld0), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(tr1), np.asarray(tr0), rtol=2e-4, atol=2e-4
+    )
