@@ -405,3 +405,34 @@ def test_long_t_batch_major_matches_xla(bchain_on, batch_major_on):
     np.testing.assert_allclose(
         np.asarray(tr1), np.asarray(tr0), rtol=2e-4, atol=2e-4
     )
+
+
+def test_gp_block_operators_long_t_routing(bchain_on):
+    """gp_block_operators consults usable() and routes a 64<T<=MAX_T ragged
+    cohort through the split-fusion chain: gp_elbo + dubo equal the XLA
+    path at long T (the elbo-level integration of round 8)."""
+    spec0, spec1, kp0, kp1, noise, xb, mask = make_inputs(
+        s=4, t=70, latent=2, seed=6
+    )
+    rng = np.random.RandomState(9)
+    z = rng.randn(5, xb.shape[2]).astype(np.float32)
+    z[:, 0] = np.linspace(0.0, 40.0, 5)
+    z = jnp.asarray(z)
+    yb = jnp.asarray(rng.randn(4, 70, 2).astype(np.float32))
+    mu_b = jnp.asarray(rng.randn(4, 70, 2).astype(np.float32))
+    lv_b = jnp.asarray((rng.randn(4, 70, 2) * 0.1).astype(np.float32))
+
+    def bounds():
+        ops = eb.gp_block_operators(
+            spec0, spec1, kp0, kp1, noise, xb, z, mask=mask, eps=1e-5
+        )
+        return eb.gp_elbo(ops, yb), eb.dubo(ops, mu_b, lv_b)
+
+    kx.use_pallas_b_chain = False
+    el0, du0 = bounds()
+    kx.use_pallas_b_chain = True
+    el1, du1 = bounds()
+    np.testing.assert_allclose(np.asarray(el1), np.asarray(el0), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(du1), np.asarray(du0), rtol=2e-4, atol=2e-4
+    )
