@@ -33,6 +33,36 @@ def enable_compile_cache(path: str | None = None) -> str | None:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _prune(cache)
         return cache
     except Exception:  # noqa: BLE001
         return None
+
+
+def _prune(cache: str) -> None:
+    """Size-budget LRU for the XLA layer: unlike the AOT layer
+    (aot_cache._prune), JAX never evicts persistent-cache entries, and a
+    durable repo-local cache accumulates stale-HLO entries forever. Evict
+    oldest-touched top-level entries beyond ``LVAE_XLA_CACHE_GB`` (default
+    10); subdirectories (the AOT store) are left to their own GC. Never
+    raises."""
+    try:
+        budget = float(os.environ.get("LVAE_XLA_CACHE_GB", "10")) * 1e9
+        entries = []
+        for name in os.listdir(cache):
+            p = os.path.join(cache, name)
+            if not os.path.isfile(p):
+                continue
+            st = os.stat(p)
+            entries.append((st.st_mtime, st.st_size, p))
+        total = sum(e[1] for e in entries)
+        for _, size, p in sorted(entries):
+            if total <= budget:
+                break
+            try:
+                os.unlink(p)
+                total -= size
+            except OSError:
+                pass
+    except Exception:  # noqa: BLE001
+        pass

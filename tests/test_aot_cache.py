@@ -172,3 +172,25 @@ def test_aot_prune_evicts_oldest_beyond_budget(tmp_path, monkeypatch):
     monkeypatch.setenv("LVAE_AOT_CACHE_GB", str(0.5e6 / 1e9))
     aot_cache._prune(str(tmp_path), keep="new")
     assert [f.name for f in tmp_path.glob("*.pkl")] == ["new.pkl"]
+
+
+def test_xla_cache_prune_budget(tmp_path, monkeypatch):
+    """enable_compile_cache's XLA-layer GC (LVAE_XLA_CACHE_GB): evicts
+    oldest-touched top-level entries beyond the budget, never touches the
+    AOT subdirectory (it has its own GC)."""
+    import os
+    import time
+
+    from lvae_tpu.utils import compile_cache as cc
+
+    d = tmp_path / "xla"
+    (d / "aot").mkdir(parents=True)
+    (d / "aot" / "keep.pkl").write_bytes(b"x" * 1024)
+    for i in range(5):
+        p = d / f"e{i}-cache"
+        p.write_bytes(b"x" * 1_000_000)
+        os.utime(p, (time.time() - 100 + i,) * 2)
+    monkeypatch.setenv("LVAE_XLA_CACHE_GB", str(3e-3))  # 3 MB budget
+    cc._prune(str(d))
+    assert sorted(os.listdir(d)) == ["aot", "e2-cache", "e3-cache", "e4-cache"]
+    assert (d / "aot" / "keep.pkl").exists()
