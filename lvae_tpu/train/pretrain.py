@@ -65,9 +65,24 @@ def make_pretrain_epoch_fn(model, optimizer, loss_function: str, dropout: bool,
         n = data.shape[0]
         n_batches = n // batch_size
 
+        # flat-view minibatch gather, as in train/hensman.py batch_loss:
+        # XLA propagates the conv's batch-minor layout into the whole frame
+        # table, turning the per-step row gather into a 23 GB/s strided
+        # walk at large N. Flatten ONCE here (outside the scans — XLA does
+        # not hoist an in-scan reshape) and restore the frame shape on the
+        # small batch. Same shape-keyed gate as the trainer.
+        from lvae_tpu.train.hensman import _flat_gather_active
+
+        frame_shape = None
+        if data.ndim > 2 and _flat_gather_active(n):
+            frame_shape = data.shape[1:]
+            data = data.reshape(n, -1)
+
         def step(state, idx):
             rng, key = jax.random.split(state.rng)
             x = jnp.take(data, idx, axis=0)
+            if frame_shape is not None:
+                x = x.reshape((x.shape[0],) + frame_shape)
             mk = jnp.take(pixmask, idx, axis=0)
             (loss, metrics), grads = jax.value_and_grad(
                 batch_loss, has_aux=True

@@ -513,3 +513,34 @@ def test_flat_gather_trajectory_identical():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7
         )
+
+
+def test_pretrain_flat_gather_trajectory_identical():
+    """Pre-training with the forced flat-view gather (the same layout fix
+    as the Hensman trainer's, train/pretrain.py epochs_fn) trains the SAME
+    trajectory as the 4-D gather path."""
+    def run(flag, epochs=3):
+        old = th.use_flat_gather
+        th.use_flat_gather = flag
+        try:
+            ds = tiny_cohort(p=4, t=4, conv=True)
+            model = mv.ConvVAE(latent_dim=3, num_dim=36 * 36, p=0.0)
+            import lvae_tpu.train.pretrain as tp_
+
+            pre = tp_.VAEPretrainer(
+                model, ds, loss_function="mse", batch_size=8, dropout=False,
+                seed=0,
+            )
+            return [pre.run_epoch().loss for _ in range(epochs)], pre.state.params
+        finally:
+            th.use_flat_gather = old
+
+    l0, p0 = run(False)
+    l1, p1 = run(True)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7
+        )
