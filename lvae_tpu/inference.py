@@ -20,6 +20,7 @@ the GP regression basis.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -30,6 +31,31 @@ from lvae_tpu.evaluation.encode import decode_latents, encode_dataset
 from lvae_tpu.ops import kernels as kx
 from lvae_tpu.ops.predict import predict_latents
 from lvae_tpu.train.state import GPParams
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_basis_jit(spec0, spec1, eps):
+    """Module-level jitted basis fold, keyed on the hashable statics.
+
+    Per-call ``jax.jit(lambda ...)`` wrappers defeat jit's in-process
+    cache (a fresh function object never hits), so every fold/refresh paid
+    a full retrace+lower — and a first-in-process backend compile on the
+    remote chip (10-500 s) — despite the "no recompile" serving contract.
+    Hoisting the wrapper here makes repeat calls with same-shaped cohorts
+    hit jax.jit's cache; only genuinely new shapes trace."""
+    from lvae_tpu.ops.predict import precompute_predict_basis
+
+    return jax.jit(
+        functools.partial(precompute_predict_basis, spec0, spec1, eps=eps)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _extend_basis_jit(spec0, spec1):
+    """Module-level jitted incremental basis extension (see _fold_basis_jit)."""
+    from lvae_tpu.ops.predict import extend_predict_basis
+
+    return jax.jit(functools.partial(extend_predict_basis, spec0, spec1))
 
 
 class LVAEPredictor(NamedTuple):
@@ -288,7 +314,6 @@ class CompiledServing:
 
     def _fold_basis(self) -> None:
         from lvae_tpu.data.blocks import build_subject_blocks
-        from lvae_tpu.ops.predict import precompute_predict_basis
 
         pr = self.predictor
         blocks = build_subject_blocks(pr.basis_labels, pr.id_covariate)
@@ -296,11 +321,7 @@ class CompiledServing:
         xb = xb * blocks.mask[..., None]
         mu_b = np.asarray(pr.basis_mu, np.float32)[blocks.index]
         mu_b = mu_b * blocks.mask[..., None]
-        self._basis = jax.jit(
-            lambda kp0, kp1, nz, xb_, mk_, mu_, z_: precompute_predict_basis(
-                pr.spec0, pr.spec1, kp0, kp1, nz, xb_, mk_, mu_, z_, pr.eps
-            )
-        )(
+        self._basis = _fold_basis_jit(pr.spec0, pr.spec1, pr.eps)(
             pr.gp_params.kp0, pr.gp_params.kp1, pr.noise,
             jnp.asarray(xb), jnp.asarray(blocks.mask, jnp.float32),
             jnp.asarray(mu_b), jnp.asarray(pr.z, jnp.float32),
@@ -315,7 +336,10 @@ class CompiledServing:
         encoded and added incrementally (ops/predict.py
         extend_predict_basis — equals a full refold at 1e-6). The compiled
         request executables stay valid: the basis is a runtime argument of
-        fixed ``[L,M,M]/[L,M]`` shape, so no recompile.
+        fixed ``[L,M,M]/[L,M]`` shape, so no recompile. The extension
+        itself runs under a module-cached jit wrapper (``_extend_basis_jit``),
+        so repeat refreshes with same-shaped cohorts hit jax.jit's
+        in-process cache instead of paying a retrace per call.
 
         Contract (see extend_predict_basis): ``new_labels`` must carry
         subject ids NOT already in the basis, and once folded, a subject is
@@ -324,7 +348,6 @@ class CompiledServing:
         refresh each sibling, or create siblings after refreshing.
         """
         from lvae_tpu.data.blocks import build_subject_blocks
-        from lvae_tpu.ops.predict import extend_predict_basis
 
         pr = self.predictor
         new_labels = np.asarray(new_labels, np.float32)
@@ -342,11 +365,7 @@ class CompiledServing:
         xb = new_labels[blocks.index] * blocks.mask[..., None]
         mu_b = np.asarray(mu_new, np.float32)[blocks.index]
         mu_b = mu_b * blocks.mask[..., None]
-        self._basis = jax.jit(
-            lambda kp0, kp1, nz, basis, xb_, mk_, mu_, z_: extend_predict_basis(
-                pr.spec0, pr.spec1, kp0, kp1, nz, basis, xb_, mk_, mu_, z_
-            )
-        )(
+        self._basis = _extend_basis_jit(pr.spec0, pr.spec1)(
             pr.gp_params.kp0, pr.gp_params.kp1, pr.noise, self._basis,
             jnp.asarray(xb, jnp.float32),
             jnp.asarray(blocks.mask, jnp.float32),

@@ -40,11 +40,18 @@ def enable_compile_cache(path: str | None = None) -> str | None:
 
 
 def _prune(cache: str) -> None:
-    """Size-budget LRU for the XLA layer: unlike the AOT layer
+    """Size-budget eviction for the XLA layer: unlike the AOT layer
     (aot_cache._prune), JAX never evicts persistent-cache entries, and a
     durable repo-local cache accumulates stale-HLO entries forever. Evict
-    oldest-touched top-level entries beyond ``LVAE_XLA_CACHE_GB`` (default
-    10); subdirectories (the AOT store) are left to their own GC. Never
+    least-recently-USED top-level entries beyond ``LVAE_XLA_CACHE_GB``
+    (default 10). JAX does not touch mtime on cache hits (only writes set
+    it), so recency is ``max(atime, mtime)``: a hit READS the file, and on
+    the usual relatime mounts that refreshes atime at >=24 h granularity —
+    approximate LRU, not the oldest-written FIFO that plain mtime would
+    give (a hot entry compiled early would then be evicted before cold
+    recent ones, costing a 10-450 s recompile). On noatime mounts this
+    degrades to FIFO; size LVAE_XLA_CACHE_GB generously there.
+    Subdirectories (the AOT store) are left to their own GC. Never
     raises."""
     try:
         budget = float(os.environ.get("LVAE_XLA_CACHE_GB", "10")) * 1e9
@@ -54,7 +61,7 @@ def _prune(cache: str) -> None:
             if not os.path.isfile(p):
                 continue
             st = os.stat(p)
-            entries.append((st.st_mtime, st.st_size, p))
+            entries.append((max(st.st_atime, st.st_mtime), st.st_size, p))
         total = sum(e[1] for e in entries)
         for _, size, p in sorted(entries):
             if total <= budget:

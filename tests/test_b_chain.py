@@ -331,10 +331,11 @@ def test_batch_major_matches_xla(bchain_on, batch_major_on):
     )
 
 
-def test_long_t_lane_packed_halves(bchain_on):
-    """64 < T <= MAX_T runs the kernel lane-packed-halved (64-wide lane
-    blocks — VMEM fits where full 128-lane packing cannot): forward outputs
-    AND parameter gradients match the XLA chain at T=90 (VERDICT r3 item 6)."""
+def test_long_t_split_fusion(bchain_on):
+    """64 < T <= MAX_T runs the SPLIT FUSION (B-inverse Pallas kernel +
+    XLA trace side; lane-halving was rejected — a 64-lane last dim pads
+    back to a 128-lane tile, see b_chain.py): forward outputs AND parameter
+    gradients match the XLA chain at T=90 (VERDICT r3 item 6)."""
     from lvae_tpu.kernels_pallas import b_chain as bc
 
     assert bc._long_t_active(), "long-T routing must be the measured default"
@@ -436,3 +437,39 @@ def test_gp_block_operators_long_t_routing(bchain_on):
     np.testing.assert_allclose(
         np.asarray(du1), np.asarray(du0), rtol=2e-4, atol=2e-4
     )
+
+
+def test_long_t_split_fusion_t128(bchain_on):
+    """96 < T <= 128: the split fusion's VMEM arithmetic says 4 live
+    [128,128,128] f32 buffers ≈ 33.6 MB fit the raised 64 MB scoped budget
+    (VERDICT r4 item 6 — the r4 cap at 96 was an unmeasured cliff).
+    Forward outputs AND parameter gradients match the XLA chain at T=128."""
+    from lvae_tpu.kernels_pallas import b_chain as bc
+
+    assert bc.MAX_T >= 128, "T=128 must be inside the split-fusion cap"
+    args = make_inputs(s=4, t=128, latent=2, seed=2)
+    ib0, ld0, tr0 = xla_reference(*args)
+    ib1, ld1, tr1 = bc.b_chain_operators(*args)
+    np.testing.assert_allclose(np.asarray(ib1), np.asarray(ib0), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ld1), np.asarray(ld0), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(tr1), np.asarray(tr0), rtol=2e-4, atol=2e-4
+    )
+
+    spec0, spec1, kp0, kp1, noise, xb, mask = args
+
+    def loss(fn, kp0, kp1, noise):
+        ib, ld, tr = fn(spec0, spec1, kp0, kp1, noise, xb, mask)
+        w = jnp.arange(ib.size, dtype=ib.dtype).reshape(ib.shape) / ib.size
+        return jnp.sum(ib * w) + jnp.sum(ld * 0.7) + jnp.sum(tr * 1.3)
+
+    g0 = jax.grad(lambda *a: loss(xla_reference, *a), argnums=(0, 1, 2))(
+        kp0, kp1, noise
+    )
+    g1 = jax.grad(lambda *a: loss(bc.b_chain_operators, *a), argnums=(0, 1, 2))(
+        kp0, kp1, noise
+    )
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5
+        )

@@ -1,12 +1,12 @@
-"""A/B the long-T fused B-chain (lane-packed halves) on the real chip.
+"""A/B the long-T split-fusion B-chain on the real chip.
 
 VERDICT r3 item 6: the fused B-chain's old T<=64 cap silently routed the
 longest bucket of exactly the Physionet-like ragged cohorts the bucketing
 work targets (hourly 48h+ stays, up to ~90 timepoints) to the XLA chain
 with no measurement. This tool measures that routing decision: a ragged
 cohort whose long band is T in [80, 91) (longest bucket cap ~90), 2-bucket
-epoch, arm `on` = LVAE_BCHAIN_T96=1 (fused chain lane-packed-halved for the
-long bucket) vs arm `off` = LVAE_BCHAIN_T96=0 (r3 behaviour: long bucket
+epoch, arm `on` = LVAE_BCHAIN_T96=1 (split fusion for the long bucket:
+B-inverse Pallas kernel + XLA trace side) vs arm `off` = LVAE_BCHAIN_T96=0 (r3 behaviour: long bucket
 falls back to XLA). Fresh process per arm (module switches bake at trace
 time). The result decides ``kernels_pallas.b_chain.LONG_T_AUTO_DEFAULT``.
 
