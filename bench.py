@@ -91,9 +91,16 @@ def build_bench_trainer(n_subjects=P, spb=SPB):
         natural_gradient_lr=0.01, constrain_scales=True, eps=1e-5,
         dropout=False,
     )
+    # dtype of record = the SHIPPED default (models/vae.auto_model_dtype:
+    # scale-gated bf16 — f32 at P=200's 4k rows, bf16 at P=1000's 20k;
+    # VERDICT r4 item 2). BENCH_MODEL_DTYPE pins either way for A/B.
+    from lvae_tpu.models.vae import auto_model_dtype
+
+    env_dt = os.environ.get("BENCH_MODEL_DTYPE")
     model_dtype = (
-        jnp.bfloat16 if os.environ.get("BENCH_MODEL_DTYPE") == "bfloat16"
-        else jnp.float32
+        jnp.bfloat16 if env_dt == "bfloat16"
+        else jnp.float32 if env_dt
+        else auto_model_dtype(n_subjects * T)
     )
     model = ConvVAE(latent_dim=LATENT, num_dim=IMG * IMG, p=0.0, dtype=model_dtype)
     z = st.init_inducing_points(labels, M_IND, seed=0)
@@ -263,6 +270,8 @@ def bench_jax(n_subjects=P, spb=SPB, epochs_timed=EPOCHS_TIMED):
         })
     except Exception as e:  # noqa: BLE001
         print(f"# measured roofline unavailable: {e}", file=sys.stderr)
+    roofline["model_dtype"] = str(trainer.model.dtype.__name__ if hasattr(
+        trainer.model.dtype, "__name__") else trainer.model.dtype)
     roofline["executable_ready_s"] = round(executable_ready_s, 2)
     roofline["first_dispatch_s"] = round(first_dispatch_s, 2)
     roofline["cache_layer"] = cache_layer
@@ -485,7 +494,7 @@ def _bench_digest():
         or k in (  # module switches
             "LVAE_OPT", "LVAE_S2D", "LVAE_BCHAIN", "LVAE_BCHAIN_BM",
             "LVAE_BCHAIN_T96", "LVAE_STACK_CHOL", "LVAE_PREGATHER",
-            "LVAE_FLATGATHER", "LVAE_OVERLAP",
+            "LVAE_FLATGATHER", "LVAE_OVERLAP", "LVAE_MODEL_BF16",
         )
     )
     h.update(repr(env).encode())
@@ -597,21 +606,31 @@ def main():
         **roofline,
     }
 
-    # Poster-scale entry (VERDICT r3 item 1): the paper's 1000-individual
-    # cohort, measured with the same xprof counters as the headline.
+    # Poster-scale entry (VERDICT r3 item 1 / r4 item 7): the paper's
+    # 1000-individual cohort, measured with the same xprof counters as the
+    # P=200 entry and promoted to a FIRST-CLASS metric in the top-level
+    # ``metrics`` array (it rode inside extra.p1000 in r4 — any consumer
+    # reading metric/value saw only the toy cohort). The legacy top-level
+    # metric/value/unit keys keep the driver contract (one JSON line,
+    # P=200 headline for cross-round continuity); extra.p1000 stays as an
+    # alias of the metrics[1] entry for r1-r4 tooling.
+    p1000_entry = None
     if not os.environ.get("BENCH_SKIP_P1000"):
         try:
             p_epoch_s, p_compile_s, p_metrics, p_roof = bench_jax(
                 n_subjects=P1000, spb=P1000_SPB, epochs_timed=2
             )
             assert np.isfinite(float(p_metrics.net))
-            extra["p1000"] = {
+            p1000_entry = {
                 "metric": "hensman_epoch_time_healthmnist_P1000_T20_L32",
+                "value": round(p_epoch_s * 1e3, 2),
+                "unit": "ms",
                 "epoch_ms": round(p_epoch_s * 1e3, 2),
                 "subjects_per_batch": P1000_SPB,
                 "compile_s": round(p_compile_s, 1),
                 **p_roof,
             }
+            extra["p1000"] = p1000_entry
         except Exception as e:  # noqa: BLE001
             print(f"# p1000 entry failed: {e}", file=sys.stderr)
 
@@ -621,7 +640,18 @@ def main():
         "unit": "ms",
         "vs_baseline": round(vs, 2),
         "extra": extra,
+        "metrics": [
+            {
+                "metric": "hensman_epoch_time_healthmnist_P200_T20_L32",
+                "value": round(jax_epoch_s * 1000, 2),
+                "unit": "ms",
+                "vs_baseline": round(vs, 2),
+                "samples_per_s": extra.get("samples_per_s"),
+            },
+        ],
     }
+    if p1000_entry is not None:
+        obj["metrics"].append(p1000_entry)
     _save_last(obj)
     print(json.dumps(obj))
 

@@ -75,11 +75,15 @@ def main(argv=None):
                         "*.jpg) — the paper protocol verbatim; train/test "
                         "cohorts draw disjoint instance files. Omitted = "
                         "procedural glyphs (indicative-only numbers)")
-    p.add_argument("--model_dtype", choices=("float32", "bfloat16"),
-                   default="float32",
+    p.add_argument("--model_dtype", choices=("auto", "float32", "bfloat16"),
+                   default="auto",
                    help="VAE compute dtype (GP algebra stays f32 regardless; "
                    "bf16 is the measured P=1000 throughput lever — "
-                   "benchmarks/README.md 'fast-path A/B round 9')")
+                   "benchmarks/README.md 'fast-path A/B round 9'). auto = "
+                   "the shipped scale-gated default "
+                   "(models/vae.auto_model_dtype): bf16 at >=10k frame rows "
+                   "on TPU, f32 below — so the P=1000 sweep measures what "
+                   "the product ships")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--dump_state", type=str, default=None,
                    help="pickle trained state + eval arrays for offline analysis")
@@ -145,9 +149,17 @@ def main(argv=None):
     # ---- model + kernel structure (config/LVAE_config_sample.txt:40-45)
     import jax.numpy as jnp
 
+    from lvae_tpu.models.vae import auto_model_dtype
+
+    model_dtype = (
+        auto_model_dtype(len(train)) if a.model_dtype == "auto"
+        else jnp.bfloat16 if a.model_dtype == "bfloat16"
+        else jnp.float32
+    )
+    print(f"model_dtype: {a.model_dtype} -> {np.dtype(model_dtype).name}",
+          flush=True)
     model = ConvVAE(
-        latent_dim=a.latent_dim, num_dim=36 * 36, p=0.0,
-        dtype=jnp.bfloat16 if a.model_dtype == "bfloat16" else jnp.float32,
+        latent_dim=a.latent_dim, num_dim=36 * 36, p=0.0, dtype=model_dtype,
     )
     spec0, spec1 = kx.split_kernel_spec(
         cat_kernel=[2],
@@ -364,8 +376,37 @@ def main(argv=None):
     lat_abl = float(((zp_a - fut_np) ** 2).mean())
     lat_ratio = lat_abl / max(lat_full, 1e-12)
 
+    # ---- gp_vs_recon root-cause CONTROL (VERDICT r4 item 5): the r4 note
+    # argues GP-pred can beat recon (ratio < 1) because recon must encode
+    # THROUGH the 25 % missing-pixel corruption while the GP posterior pools
+    # the subject's observed half. The falsifiable prediction: encoding the
+    # SAME future frames WITHOUT their corruption (ground truth from the
+    # generator), decoding, and scoring on the identical target/mask should
+    # beat the GP path — clean-recon < GP-pred < corrupted-recon near the
+    # rendering floor. Same sampled forward + rng as result.vae_mse
+    # (evaluation/testing.py vae_forward, model_test.py:82,143 semantics).
+    from lvae_tpu.evaluation.testing import _masked_mse_mean, vae_forward
+
+    test_full_truth_all = (tfull / 255.0).astype(np.float32).reshape(-1, 36 * 36)
+    sel_fut_rows = test_full.labels[:, 0] >= 10
+    x_clean = test_full_truth_all[sel_fut_rows].reshape(-1, 36, 36, 1)
+    recon_clean, _, _ = vae_forward(
+        model, tr.vae, jnp.asarray(x_clean), jax.random.key(0)
+    )
+    recon_clean_mse = float(_masked_mse_mean(
+        model, tr.vae, recon_clean,
+        jnp.asarray(future.data), jnp.asarray(future.mask),
+    ))
+
     gp_vs_recon = result.gp_mse / max(result.vae_mse, 1e-12)
     ablation_ratio = result_ablated.gp_mse / max(result.gp_mse, 1e-12)
+    print(
+        f"recon_clean_mse (uncorrupted-input control) {recon_clean_mse:.5f}; "
+        f"prediction clean-recon < GP-pred < corrupted-recon: "
+        f"{recon_clean_mse:.5f} vs {result.gp_mse:.5f} vs "
+        f"{result.vae_mse:.5f}",
+        flush=True,
+    )
     print(
         f"GP-pred MSE {result.gp_mse:.5f} vs recon MSE {result.vae_mse:.5f} "
         f"(ratio {gp_vs_recon:.2f}); K1-ablated GP-pred MSE "
@@ -396,6 +437,7 @@ def main(argv=None):
                 "vs_baseline": round(0.025 / result.gp_mse, 3),
                 "extra": {
                     "vae_recon_mse": round(result.vae_mse, 5),
+                    "recon_clean_mse": round(recon_clean_mse, 5),
                     "gp_vs_recon_ratio": round(gp_vs_recon, 3),
                     "k1_ablation_mse": round(result_ablated.gp_mse, 5),
                     "k1_ablation_ratio": round(ablation_ratio, 3),

@@ -49,14 +49,21 @@ def cohort(p, seed=0):
     )
 
 
-def measure(p, chunk=10, reps=3):
+def measure(p, chunk=10, reps=3, model_dtype="auto"):
+    import jax.numpy as jnp
+
     from lvae_tpu.data.blocks import build_subject_blocks
-    from lvae_tpu.models.vae import ConvVAE
+    from lvae_tpu.models.vae import ConvVAE, auto_model_dtype
     from lvae_tpu.ops import kernels as kx
     from lvae_tpu.train import state as st
     from lvae_tpu.train.hensman import HensmanConfig, HensmanTrainer
 
     ds = cohort(p)
+    dt = (
+        auto_model_dtype(p * T) if model_dtype == "auto"
+        else jnp.bfloat16 if model_dtype == "bfloat16"
+        else jnp.float32
+    )
     blocks = build_subject_blocks(ds.labels, id_covariate=2)
     spec0, spec1 = kx.split_kernel_spec(
         cat_kernel=[2], sqexp_kernel=[0],
@@ -69,7 +76,7 @@ def measure(p, chunk=10, reps=3):
         natural_gradient_lr=0.01, constrain_scales=True, eps=1e-5,
         dropout=False,
     )
-    model = ConvVAE(latent_dim=LATENT, num_dim=IMG * IMG, p=0.0)
+    model = ConvVAE(latent_dim=LATENT, num_dim=IMG * IMG, p=0.0, dtype=dt)
     z = st.init_inducing_points(ds.labels, M_IND, seed=0)
     trainer = HensmanTrainer(model, cfg, ds, blocks, z, subjects_per_batch=SPB)
     trainer.run_epochs(chunk)  # compile + warmup
@@ -80,18 +87,22 @@ def measure(p, chunk=10, reps=3):
         times.append((time.perf_counter() - t0) / chunk)
     assert np.isfinite(ms[-1].net)
     epoch_s = float(np.median(times))
-    return epoch_s, (p * T) / epoch_s
+    return epoch_s, (p * T) / epoch_s, np.dtype(dt).name
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--subjects", type=int, nargs="+", default=[200, 1000, 5000])
+    ap.add_argument("--model_dtype", choices=("auto", "float32", "bfloat16"),
+                    default="auto",
+                    help="auto = the shipped scale-gated default "
+                    "(models/vae.auto_model_dtype)")
     a = ap.parse_args(argv)
     rows = []
     for p in a.subjects:
-        epoch_s, sps = measure(p)
+        epoch_s, sps, dt_name = measure(p, model_dtype=a.model_dtype)
         rows.append({"P": p, "epoch_ms": round(epoch_s * 1000, 2),
-                     "samples_per_s": round(sps)})
+                     "samples_per_s": round(sps), "model_dtype": dt_name})
         print(json.dumps(rows[-1]), flush=True)
     print(json.dumps({"metric": "hensman_scaling", "rows": rows}))
 

@@ -101,6 +101,55 @@ def _s2d_active() -> bool:
     return bool(use_s2d_convs)
 
 
+# bf16 VAE compute as a SCALE-GATED default (VERDICT r4 item 2). The on-chip
+# dtype A/B (tools/ab_fastpaths.py arms, benchmarks/README.md "fast-path A/B
+# round 9") measured bf16 conv/dense compute NEUTRAL at P=200 (4k frame rows;
+# the epoch is op-latency-bound — halved HBM bytes buy nothing, convert ops
+# add executions, 13.44 → 13.45 ms) and a 16 % WIN at P=1000 (20k rows; the
+# epoch is conv-HBM-bound — 68.85 → 57.95 ms, composed with the flat gather
+# 46.0 ms / 434k samples/s). Accuracy-validated at bf16 for all three
+# regimes with armed asserts (hensman 0.01055 / gppvae 0.01556 / vi 0.01286
+# vs paper 0.025±0.0015). So the auto default mirrors the flat gather's
+# shape-keyed gate (train/hensman.FLATGATHER_MIN_ROWS — same two measured
+# scales bracket the same threshold): bf16 VAE compute when the frame table
+# has >= MODEL_BF16_MIN_ROWS rows AND the base dtype is f32 AND the backend
+# is TPU (CPU emulates bf16 — strictly slower; tests/f64 oracles keep their
+# dtype). GP algebra stays f32 under default_matmul_precision('highest')
+# regardless (the ops/elbo.py invariant) — only conv/dense VAE compute
+# moves, params stay f32. Explicit override both ways: config
+# ``model_dtype`` ('float32' pins f32, 'bfloat16' pins bf16) or env
+# LVAE_MODEL_BF16=0/1.
+use_bf16_model: Optional[bool] = None
+MODEL_BF16_MIN_ROWS = 10_000  # 4k rows measured neutral, 20k rows −16 %
+_bf16_env = os.environ.get("LVAE_MODEL_BF16", "").strip().lower()
+if _bf16_env in ("1", "true", "on"):
+    use_bf16_model = True
+elif _bf16_env in ("0", "false", "off"):
+    use_bf16_model = False
+elif _bf16_env:
+    raise ValueError(
+        f"LVAE_MODEL_BF16={os.environ['LVAE_MODEL_BF16']!r}: expected 0/1"
+    )
+
+
+def auto_model_dtype(n_rows: int, base_dtype=jnp.float32):
+    """Resolve the VAE compute dtype for an ``n_rows``-frame cohort.
+
+    The shipped default when no explicit ``model_dtype`` is configured:
+    bf16 above the measured row threshold on TPU, the base dtype otherwise
+    (see the gate comment above for the A/B provenance)."""
+    if use_bf16_model is not None:
+        want = use_bf16_model
+    else:
+        want = (
+            n_rows >= MODEL_BF16_MIN_ROWS
+            and jax.default_backend() == "tpu"
+        )
+    if want and base_dtype == jnp.float32:
+        return jnp.bfloat16
+    return base_dtype
+
+
 def _space_to_depth(x: jax.Array) -> jax.Array:
     """[N, H, W, C] → [N, H/2, W/2, 4C]; channel order ((a, b), c), a/b = the
     pixel's position inside its 2×2 block."""

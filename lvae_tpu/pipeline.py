@@ -27,7 +27,7 @@ from lvae_tpu.evaluation.testing import (
     mse_test_gp_approx,
 )
 from lvae_tpu.evaluation.validate import validate
-from lvae_tpu.models.vae import make_vae
+from lvae_tpu.models.vae import auto_model_dtype, make_vae
 from lvae_tpu.ops import kernels as kx
 from lvae_tpu.train import state as st
 from lvae_tpu.train.hensman import HensmanConfig, HensmanTrainer
@@ -104,11 +104,14 @@ class LVAEPipeline:
 
         self.num_dim = cfg.num_dim or self.dataset.num_dim
         self.q = self.dataset.num_covariates
+        # '' = auto: scale-gated bf16 VAE compute (models/vae.auto_model_dtype
+        # — bf16 above the measured row threshold on TPU, the GP dtype
+        # below). An explicit model_dtype pins either way.
         model_dtype = (
             {"float32": jnp.float32, "float64": jnp.float64,
              "bfloat16": jnp.bfloat16}[cfg.model_dtype]
             if cfg.model_dtype
-            else self.dtype
+            else auto_model_dtype(len(self.dataset), self.dtype)
         )
         self.model = make_vae(
             cfg.type_nnet, cfg.latent_dim, self.num_dim,

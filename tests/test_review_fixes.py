@@ -573,3 +573,48 @@ def test_auto_recover_rollback_replays_chunk(tmp_path):
     trainer.fit(2, log_every=0, callback=cb, chunk=2)
     assert calls == [2, 2], calls  # chunk replayed after the rollback
     assert np.isfinite(float(trainer.history[-1].net))
+
+
+def test_auto_model_dtype_scale_gate(monkeypatch):
+    """VERDICT r4 item 2: '' model_dtype resolves via the scale-keyed gate —
+    bf16 only above MODEL_BF16_MIN_ROWS on TPU, base dtype below; explicit
+    forces win; f64 oracle dtypes are never quantized."""
+    import jax.numpy as jnp
+
+    from lvae_tpu.models import vae as mv
+
+    monkeypatch.setattr(mv, "use_bf16_model", None)
+    # CPU backend (tests force it): auto never picks bf16 regardless of rows
+    assert mv.auto_model_dtype(4_000) == jnp.float32
+    assert mv.auto_model_dtype(20_000) == jnp.float32
+    # forced ON: bf16 for an f32 base even below the threshold...
+    monkeypatch.setattr(mv, "use_bf16_model", True)
+    assert mv.auto_model_dtype(100) == jnp.bfloat16
+    # ...but never for the f64 oracle dtype
+    assert mv.auto_model_dtype(100, jnp.float64) == jnp.float64
+    # forced OFF beats any scale
+    monkeypatch.setattr(mv, "use_bf16_model", False)
+    assert mv.auto_model_dtype(10**6) == jnp.float32
+
+
+def test_pipeline_model_dtype_pins_override_auto(tmp_path, monkeypatch):
+    """An explicit config model_dtype pins the VAE compute dtype both ways,
+    bypassing the auto gate (the gate's doc contract)."""
+    import jax.numpy as jnp
+
+    from lvae_tpu.models import vae as mv
+
+    monkeypatch.setattr(mv, "use_bf16_model", True)  # auto would say bf16
+    cfg = make_cfg(
+        str(tmp_path), epochs=1, run_validation=False, generate_images=False,
+        run_tests=False, model_dtype="float32",
+    )
+    p = LVAEPipeline(cfg, {"train": healthmnist_like(p=4, t=3, seed=0)})
+    assert p.model.dtype == jnp.float32
+    cfg2 = make_cfg(
+        str(tmp_path), epochs=1, run_validation=False, generate_images=False,
+        run_tests=False, model_dtype="bfloat16",
+    )
+    monkeypatch.setattr(mv, "use_bf16_model", False)  # auto would say f32
+    p2 = LVAEPipeline(cfg2, {"train": healthmnist_like(p=4, t=3, seed=0)})
+    assert p2.model.dtype == jnp.bfloat16
