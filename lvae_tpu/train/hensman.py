@@ -569,10 +569,15 @@ class HensmanTrainer:
         )
         self.dtype = dtype
 
+        # chunked upload for big cohorts: one giant device_put through the
+        # remote relay times out at ~GB scale (P=20k's 2 GB frame table,
+        # utils/transfer.py); identical values, bounded request sizes
+        from lvae_tpu.utils.transfer import to_device_chunked
+
         self.tdata = st.TrainData(
-            data=jnp.asarray(dataset.data, dtype),
-            labels=jnp.asarray(dataset.labels, dtype),
-            pixmask=jnp.asarray(dataset.mask, dtype),
+            data=to_device_chunked(dataset.data, dtype),
+            labels=to_device_chunked(dataset.labels, dtype),
+            pixmask=to_device_chunked(dataset.mask, dtype),
             z=jnp.asarray(z, dtype),
         )
 
