@@ -53,7 +53,14 @@ _LANE = 128
 # 128 and saves nothing. VERDICT r3 item 6; on-chip A/B in
 # benchmarks/README.md "fast-path A/B round 8".
 MAX_T_FULL_LANE = 64
-MAX_T = 96
+# Split-path cap. VMEM arithmetic says T=128 fits the raised 64 MB scoped
+# budget (4 live [128,128,128] f32 buffers ≈ 33.6 MB vs T=90's measured
+# 16.55 MB), so the boundary is an on-chip compile/perf question, not a
+# capacity wall like T=90 was at the 16 MB default. LVAE_BCHAIN_TMAX
+# overrides for the A/B (tools/ab_t90_bchain.py --t 128) without a source
+# edit (which would churn the AOT-cache digest); the default is set by the
+# measured A/B — see benchmarks/README.md "long-T" entries.
+MAX_T = int(os.environ.get("LVAE_BCHAIN_TMAX", "128"))
 
 # Batch-major output: emit B⁻¹ as [L·S, T, T] straight from the kernel (the
 # lane→sublane transpose happens in VMEM) instead of [T, T, L·S] + an XLA
