@@ -33,11 +33,12 @@ EPOCHS_TIMED = 4
 
 # Poster-scale entry (VERDICT r3 item 1): the paper's actual cohort is 1000
 # individuals (Health_MNIST_generate.py:89-93 / images/poster_L-VAE.png).
-# subjects_per_batch=50 is the measured throughput knee from the on-chip
-# sweep (tools/p1000_sweep.py: 96.2/69.1/69.8/74.1 ms/epoch at spb
-# 20/50/100/200; table in benchmarks/README.md).
+# subjects_per_batch=100 is the measured throughput knee from the r5 on-chip
+# re-sweep under the shipped defaults (bf16 auto + factored B-chain VJP;
+# tools/p1000_sweep.py: 55.8/44.4/42.4/47.5 ms/epoch at spb 25/50/100/200 —
+# the r4 knee was 50 under f32; table in benchmarks/README.md).
 P1000 = 1000
-P1000_SPB = int(os.environ.get("BENCH_P1000_SPB", "50"))
+P1000_SPB = int(os.environ.get("BENCH_P1000_SPB", "100"))
 
 
 def synth_cohort(seed=0, n_subjects=P):
@@ -495,6 +496,7 @@ def _bench_digest():
             "LVAE_OPT", "LVAE_S2D", "LVAE_BCHAIN", "LVAE_BCHAIN_BM",
             "LVAE_BCHAIN_T96", "LVAE_STACK_CHOL", "LVAE_PREGATHER",
             "LVAE_FLATGATHER", "LVAE_OVERLAP", "LVAE_MODEL_BF16",
+            "LVAE_RESHAPE_POOL", "LVAE_BCHAIN_TMAX",
         )
     )
     h.update(repr(env).encode())

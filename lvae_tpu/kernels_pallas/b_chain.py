@@ -514,8 +514,17 @@ def _b_chain_bwd_impl(spec0, spec1, res, cots):
     k0m = masked_block_stack(spec0, s0.astype(jnp.float32),
                              g0.astype(jnp.float32), xf, mm3)
 
-    # dB: through B⁻¹ (−B⁻¹ Ḡ B⁻¹), log|B| (B⁻¹), tr(B⁻¹K0) (−B⁻¹K0B⁻¹)
-    db = -ib @ d_ib @ ib + d_logdet * ib - d_tr * (ib @ k0m @ ib)
+    # dB: through B⁻¹ (−B⁻¹ Ḡ B⁻¹), log|B| (B⁻¹), tr(B⁻¹K0) (−B⁻¹K0B⁻¹).
+    # The two sandwich chains share the B⁻¹·(·)·B⁻¹ form with scalar-per-l
+    # weights, so they are factored into ONE sandwich over the elementwise
+    # combination X = Ḡ + d_tr·K0: two batched matmuls instead of four (the
+    # add fuses into the matmul producer). At the flagship T=20 these
+    # 20-fill tiny-T batched dots are the P=1000 device budget's #1 class
+    # (tools/device_budget.py, gp_xla 28.9 %); halving their MXU passes is
+    # value-equal within f32 roundoff (sums reassociated: (B⁻¹X)B⁻¹ →
+    # B⁻¹(XB⁻¹)). A rows/cols-concat variant was measured WORSE (the concat
+    # copies cost more than the saved passes — see benchmarks/README.md).
+    db = d_logdet * ib - ib @ ((d_ib + d_tr * k0m) @ ib)
     cot_k0 = d_tr * ib  # d tr(B⁻¹K0)/dK0 = B⁻¹
     cot_k1 = db  # B = K1_masked + diag(...)
 

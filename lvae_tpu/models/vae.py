@@ -50,7 +50,22 @@ def floored_log_vy(raw_log_vy: jax.Array) -> jax.Array:
 # 15.8 ms device time, so the default stays off (A/B: tools/bench_maxpool
 # note in benchmarks/README.md). Subgradient choice on ties differs (even
 # split vs single winner) — both valid; forward torch parity is unaffected.
+# Env override LVAE_RESHAPE_POOL=0/1 for on-chip A/B without source churn.
+# RE-MEASURED at P=1000/bf16 (r5, where select-and-scatter is 8.3 % of the
+# device budget): STILL negative — P=200 12.87 → 14.64 ms wall, P=1000
+# 44.35 → 44.69 (device 43.80 → 44.15, HBM 7.45 → 9.07 GB/epoch): the
+# reshape backward's extra traffic eats the select-and-scatter saving at
+# both scales (tools/ab_fastpaths.py --arms default,rpool, 2026-08-20).
 use_reshape_max_pool: bool = False
+_rp_env = os.environ.get("LVAE_RESHAPE_POOL", "").strip().lower()
+if _rp_env in ("1", "true", "on"):
+    use_reshape_max_pool = True
+elif _rp_env in ("0", "false", "off"):
+    use_reshape_max_pool = False
+elif _rp_env:
+    raise ValueError(
+        f"LVAE_RESHAPE_POOL={os.environ['LVAE_RESHAPE_POOL']!r}: expected 0/1"
+    )
 
 
 def _max_pool_2x2(h: jax.Array) -> jax.Array:

@@ -676,7 +676,7 @@ class HensmanTrainer:
             (kc.use_partitioned_cholesky, kc._partition_interpret),
             bc.use_partitioned_b_chain,
             (bc.use_batch_major_out, bc.B_CHAIN_BM_AUTO_DEFAULT),
-            (bc.use_long_t_halves, bc.LONG_T_AUTO_DEFAULT),
+            (bc.use_long_t_halves, bc.LONG_T_AUTO_DEFAULT, bc.MAX_T),
             eb.use_stacked_mm_chol,
             (use_epoch_pregather, PREGATHER_AUTO_DEFAULT),
             (use_flat_gather, FLATGATHER_MIN_ROWS),

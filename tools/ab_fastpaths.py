@@ -60,6 +60,13 @@ ARMS = {
     # tools/ab_t90_bchain.py for the dedicated workload
     "t96": {"LVAE_BCHAIN_T96": "1"},
     "not96": {"LVAE_BCHAIN_T96": "0"},
+    # reshape+max 2x2 pooling (models/vae.use_reshape_max_pool): kills the
+    # select-and-scatter backward (8.3 % of the P=1000/bf16 device budget,
+    # tools/device_budget.py) at the cost of 2.3x pool-backward HBM traffic
+    # (r3's P=200 negative) — re-measured at the scale where the budget says
+    # it could flip
+    "rpool": {"LVAE_RESHAPE_POOL": "1"},
+    "norpool": {"LVAE_RESHAPE_POOL": "0"},
 }
 
 
