@@ -53,13 +53,17 @@ _LANE = 128
 # 128 and saves nothing. VERDICT r3 item 6; on-chip A/B in
 # benchmarks/README.md "fast-path A/B round 8".
 MAX_T_FULL_LANE = 64
-# Split-path cap. VMEM arithmetic says T=128 fits the raised 64 MB scoped
-# budget (4 live [128,128,128] f32 buffers ≈ 33.6 MB vs T=90's measured
-# 16.55 MB), so the boundary is an on-chip compile/perf question, not a
-# capacity wall like T=90 was at the 16 MB default. LVAE_BCHAIN_TMAX
-# overrides for the A/B (tools/ab_t90_bchain.py --t 128) without a source
-# edit (which would churn the AOT-cache digest); the default is set by the
-# measured A/B — see benchmarks/README.md "long-T" entries.
+# Split-path cap, MEASURED at 128 (VERDICT r4 item 6 — the r4 cap at 96
+# was an unmeasured cliff): VMEM arithmetic says T=128 fits the raised
+# 64 MB scoped budget (4 live [128,128,128] f32 buffers ≈ 33.6 MB vs
+# T=90's measured 16.55 MB), and the on-chip A/B confirms the kernel wins
+# 2.29× over the XLA chain at a T=128 long bucket (10.95 vs 25.04 ms/epoch,
+# tools/ab_t90_bchain.py --t_long 128; Mosaic compile of the 3×128-unrolled
+# body is ~135 s, one-time per cache). Equality+gradient proof at T=128:
+# tests/test_b_chain.py::test_long_t_split_fusion_t128. T>128 still routes
+# to the XLA chain — the measured cliff there is the 25.04 ms arm above,
+# and the unrolled-body compile time grows with T; raise via
+# LVAE_BCHAIN_TMAX only with a fresh A/B.
 MAX_T = int(os.environ.get("LVAE_BCHAIN_TMAX", "128"))
 
 # Batch-major output: emit B⁻¹ as [L·S, T, T] straight from the kernel (the

@@ -26,8 +26,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def t90_cohort(p=200, frac_long=0.15, seed=0):
-    """ragged_bucketing.ragged_cohort with the long band pushed to ~T=90."""
+def t90_cohort(p=200, frac_long=0.15, seed=0, t_long=90):
+    """ragged_bucketing.ragged_cohort with the long band pushed to ~t_long
+    (90 = the r4 Physionet-like A/B; 128 = the r5 boundary probe,
+    VERDICT r4 item 6)."""
     import numpy as np
 
     from lvae_tpu.data.datasets import ArrayDataset
@@ -36,10 +38,10 @@ def t90_cohort(p=200, frac_long=0.15, seed=0):
     n_long = int(round(p * frac_long))
     t_lens = np.concatenate([
         rng.integers(4, 13, size=p - n_long),
-        rng.integers(80, 91, size=n_long),
+        rng.integers(t_long - 10, t_long + 1, size=n_long),
     ])
-    # force the cap to exactly 90 so the arm label is honest
-    t_lens[p - 1] = 90
+    # force the cap to exactly t_long so the arm label is honest
+    t_lens[p - 1] = t_long
     rng.shuffle(t_lens)
     rows = []
     for s, tl in enumerate(t_lens):
@@ -55,13 +57,13 @@ def t90_cohort(p=200, frac_long=0.15, seed=0):
     ), t_lens
 
 
-def run_measurement(subjects: int, chunk: int):
+def run_measurement(subjects: int, chunk: int, t_long: int = 90):
     from benchmarks.ragged_bucketing import measure
     from lvae_tpu.kernels_pallas import b_chain as bc
     from lvae_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
-    ds, t_lens = t90_cohort(p=subjects)
+    ds, t_lens = t90_cohort(p=subjects, t_long=t_long)
     epoch_s, caps, compile_s, net = measure(2, ds, chunk=chunk)
     print(json.dumps({
         "arm": os.environ.get("LVAE_BCHAIN_T96", "auto"),
@@ -76,6 +78,8 @@ def run_measurement(subjects: int, chunk: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--subjects", type=int, default=200)
+    ap.add_argument("--t_long", type=int, default=90,
+                    help="cap of the long band (90 = r4 A/B, 128 = r5 probe)")
     ap.add_argument("--chunk", type=int, default=10)
     ap.add_argument("--timeout", type=int, default=585)
     ap.add_argument("--retries", type=int, default=2)
@@ -83,7 +87,7 @@ def main():
     args = ap.parse_args()
 
     if args.arm is not None:
-        run_measurement(args.subjects, args.chunk)
+        run_measurement(args.subjects, args.chunk, args.t_long)
         return
 
     results = {}
@@ -97,7 +101,8 @@ def main():
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--arm", arm, "--subjects", str(args.subjects),
-                     "--chunk", str(args.chunk)],
+                     "--chunk", str(args.chunk),
+                     "--t_long", str(args.t_long)],
                     env=env, timeout=args.timeout, capture_output=True,
                     text=True,
                 )
