@@ -3,6 +3,7 @@
 import numpy as np
 
 from lvae_tpu.inference import LVAEPredictor
+from lvae_tpu.models import vae as mv
 from lvae_tpu.pipeline import LVAEPipeline
 from tests.test_pipeline import healthmnist_like, make_cfg
 
@@ -87,6 +88,13 @@ def test_aot_compiled_serving_matches_jit_path(tmp_path):
     np.testing.assert_allclose(dec_aot, dec_jit, rtol=1e-6, atol=1e-6)
 
 
+# decoded-pixel comparisons between two valid op orderings: under the
+# FORCED bf16 arm (LVAE_MODEL_BF16=1) the decoder output is quantized to
+# the bf16 grid (1 ulp at 0.5 = 2^-8 ≈ 0.0039), so the f32-calibrated
+# 5e-4 tolerance must widen to a bf16-ulp-scale one
+_PIX_TOL = 1e-2 if mv.use_bf16_model else 5e-4
+
+
 def test_aot_trajectory_matches_full_recompute(tmp_path):
     """The low-rank serving path (precomputed basis + one-subject extension,
     ops/predict.py gp_predict_extend) equals the full-cohort recompute
@@ -109,7 +117,7 @@ def test_aot_trajectory_matches_full_recompute(tmp_path):
     bundle = pred.aot_compile(batch_size=8, t_obs=3, n_query=2)
     fast = bundle.predict_trajectory(obs_x, obs_lab, query_lab)
     assert fast.shape == full.shape
-    np.testing.assert_allclose(fast, full, rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(fast, full, rtol=_PIX_TOL, atol=_PIX_TOL)
 
     # queries for a subject with no data anywhere: shared term only, and the
     # two paths still agree
@@ -117,7 +125,7 @@ def test_aot_trajectory_matches_full_recompute(tmp_path):
     far.labels[:, 2] = 888.0
     full2 = pred.predict_trajectory(obs_x, obs_lab, far.labels[3:])
     fast2 = bundle.predict_trajectory(obs_x, obs_lab, far.labels[3:])
-    np.testing.assert_allclose(fast2, full2, rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(fast2, full2, rtol=_PIX_TOL, atol=_PIX_TOL)
 
 
 def test_aot_batch_trajectories_match_full_recompute(tmp_path):
@@ -152,7 +160,7 @@ def test_aot_batch_trajectories_match_full_recompute(tmp_path):
     bundle = pred.aot_compile(batch_size=8, t_obs=3, n_query=2, k_subjects=2)
     fast = bundle.predict_trajectories(obs_x, obs_lab, query_lab)
     assert fast.shape == full.shape
-    np.testing.assert_allclose(fast, full, rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(fast, full, rtol=_PIX_TOL, atol=_PIX_TOL)
 
     # K>1 bundle serving a single-subject request: ghost-padded, equals the
     # K=1 bundle's answer
