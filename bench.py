@@ -496,7 +496,7 @@ def _bench_digest():
             "LVAE_OPT", "LVAE_S2D", "LVAE_BCHAIN", "LVAE_BCHAIN_BM",
             "LVAE_BCHAIN_T96", "LVAE_STACK_CHOL", "LVAE_PREGATHER",
             "LVAE_FLATGATHER", "LVAE_OVERLAP", "LVAE_MODEL_BF16",
-            "LVAE_RESHAPE_POOL", "LVAE_BCHAIN_TMAX",
+            "LVAE_RESHAPE_POOL", "LVAE_BCHAIN_TMAX", "LVAE_TABLE_BF16",
         )
     )
     h.update(repr(env).encode())

@@ -144,6 +144,44 @@ def _overlap_active(explicit: Optional[bool]) -> bool:
     return OVERLAP_AUTO_DEFAULT
 
 
+# bf16 FRAME TABLE: when the VAE computes in bf16 (models/vae.auto_model_
+# dtype), store the device-resident frame/pixmask tables in bf16 too. The
+# conv path is value-identical (the bf16 compute model casts its input to
+# bf16 anyway — pre-quantizing the table is the same cast done once), and
+# the per-step row gather — a top HBM op of the P=1000 budget
+# (tools/device_budget.py gather_layout) — moves half the bytes. The loss
+# TARGET is upcast back to f32 in batch_loss, so the only numerics change
+# is the MSE/NLL target quantized to the bf16 grid (≤1 ulp ≈ 0.4 % of a
+# unit pixel) — the same order as the bf16 compute change itself,
+# re-validated by the armed accuracy protocol. Labels/z (the GP side)
+# ALWAYS stay in the GP dtype. Env override LVAE_TABLE_BF16=0/1.
+# MEASURED NEGATIVE on the P=1000/bf16 flagship (2026-08-20, fresh process
+# per arm, spb=100): 42.93 → 45.56 ms/epoch (+6 %) — the f32 upcast of the
+# loss target adds an op per step and the half-width gather rows (2.6 KB)
+# DMA worse than the f32 rows; the byte saving doesn't pay. Auto default
+# stays OFF; kept as an opt-in for gather-dominated workloads where the
+# frame table dwarfs VMEM (P>=10k pretraining-style epochs).
+use_bf16_table: Optional[bool] = None
+TABLE_BF16_AUTO_DEFAULT = False
+_tb_env = os.environ.get("LVAE_TABLE_BF16", "").strip().lower()
+if _tb_env in ("1", "true", "on"):
+    use_bf16_table = True
+elif _tb_env in ("0", "false", "off"):
+    use_bf16_table = False
+elif _tb_env:
+    raise ValueError(
+        f"LVAE_TABLE_BF16={os.environ['LVAE_TABLE_BF16']!r}: expected 0/1"
+    )
+
+
+def _bf16_table_active(model, dtype) -> bool:
+    if getattr(model, "dtype", None) != jnp.bfloat16 or dtype != jnp.float32:
+        return False
+    if use_bf16_table is not None:
+        return use_bf16_table
+    return TABLE_BF16_AUTO_DEFAULT
+
+
 class HensmanConfig(NamedTuple):
     """Static configuration of the jitted step (hashable)."""
 
@@ -232,6 +270,13 @@ def batch_loss(
         # small batch only (the conv relayout then touches the batch, not
         # the table)
         x = x.reshape((x.shape[0],) + frame_shape)
+    # bf16 frame table (``use_bf16_table``): the conv consumes the bf16
+    # batch directly (the bf16 compute model casts its input anyway), but
+    # losses/GP algebra accumulate in the GP dtype — upcast the loss
+    # TARGET here (labels always stay in the GP dtype)
+    f32 = labels.dtype
+    x_tgt = x.astype(f32) if x.dtype != f32 else x
+    pixmask = pixmask.astype(f32) if pixmask.dtype != f32 else pixmask
     valid = bmask.reshape(-1)
 
     k_drop, k_sample = jax.random.split(rng)
@@ -243,13 +288,14 @@ def batch_loss(
         rngs={"dropout": k_drop},
     )
     # a reduced-precision (bf16) compute model hands back bf16 moments; the
-    # GP algebra needs full f32
-    mu = mu.astype(x.dtype)
-    log_var = log_var.astype(x.dtype)
+    # GP algebra needs full f32 (labels carry the GP dtype — x may be a
+    # bf16 table row)
+    mu = mu.astype(f32)
+    log_var = log_var.astype(f32)
     raw_log_vy = trainables.vae["params"]["raw_log_vy"]
     if cfg.vy_fixed:
         raw_log_vy = jax.lax.stop_gradient(raw_log_vy)
-    mse_i, nll_i = mv.vae_loss(raw_log_vy, recon, x, pixmask)
+    mse_i, nll_i = mv.vae_loss(raw_log_vy, recon, x_tgt, pixmask)
     recon_loss = jnp.sum(mse_i * valid)
     nll_loss = jnp.sum(nll_i * valid)
 
@@ -571,13 +617,19 @@ class HensmanTrainer:
 
         # chunked upload for big cohorts: one giant device_put through the
         # remote relay times out at ~GB scale (P=20k's 2 GB frame table,
-        # utils/transfer.py); identical values, bounded request sizes
+        # utils/transfer.py); identical values, bounded request sizes.
+        # Frame/pixmask tables drop to bf16 when the model computes bf16
+        # (``use_bf16_table`` — halves the per-step gather bytes); the GP
+        # side (labels, z) always keeps the GP dtype.
         from lvae_tpu.utils.transfer import to_device_chunked
 
+        table_dtype = (
+            jnp.bfloat16 if _bf16_table_active(model, dtype) else dtype
+        )
         self.tdata = st.TrainData(
-            data=to_device_chunked(dataset.data, dtype),
+            data=to_device_chunked(dataset.data, table_dtype),
             labels=to_device_chunked(dataset.labels, dtype),
-            pixmask=to_device_chunked(dataset.mask, dtype),
+            pixmask=to_device_chunked(dataset.mask, table_dtype),
             z=jnp.asarray(z, dtype),
         )
 

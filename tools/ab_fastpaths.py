@@ -67,6 +67,12 @@ ARMS = {
     # it could flip
     "rpool": {"LVAE_RESHAPE_POOL": "1"},
     "norpool": {"LVAE_RESHAPE_POOL": "0"},
+    # bf16 frame-table storage (train/hensman.use_bf16_table): pre-quantize
+    # the frame/pixmask tables to the bf16 the compute model casts to
+    # anyway — halves the per-step gather bytes (P=1000 budget's top HBM
+    # class). Only bites where the model computes bf16 (P=1000 auto).
+    "tbl16": {"LVAE_TABLE_BF16": "1"},
+    "notbl16": {"LVAE_TABLE_BF16": "0"},
 }
 
 
