@@ -134,6 +134,15 @@ def bench_jax(n_subjects=P, spb=SPB, epochs_timed=EPOCHS_TIMED):
     except OSError:
         xla_dir_was_warm = False
 
+    # backend/relay initialization is NOT part of the framework's cold
+    # start: touch the device with a trivial op first so executable_ready_s
+    # times the AOT deserialize, not the first contact with the remote
+    # relay (observed: the same aot-hit load 0.5 s .. 370 s depending on
+    # which call paid the relay warmup).
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.jit(lambda x: x + 1)(0.0))
+    backend_init_s = time.perf_counter() - t0
+
     trainer = build_bench_trainer(n_subjects=n_subjects, spb=spb)
 
     # training cadence: chunks of 25 epochs per dispatch (pipeline default)
@@ -273,6 +282,7 @@ def bench_jax(n_subjects=P, spb=SPB, epochs_timed=EPOCHS_TIMED):
         print(f"# measured roofline unavailable: {e}", file=sys.stderr)
     roofline["model_dtype"] = str(trainer.model.dtype.__name__ if hasattr(
         trainer.model.dtype, "__name__") else trainer.model.dtype)
+    roofline["backend_init_s"] = round(backend_init_s, 2)
     roofline["executable_ready_s"] = round(executable_ready_s, 2)
     roofline["first_dispatch_s"] = round(first_dispatch_s, 2)
     roofline["cache_layer"] = cache_layer
