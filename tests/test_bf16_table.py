@@ -73,3 +73,58 @@ def test_bf16_table_close_to_f32_table(monkeypatch):
     assert np.isfinite(ms16.net) and np.isfinite(ms32.net)
     np.testing.assert_allclose(ms16.recon, ms32.recon, rtol=2e-2)
     np.testing.assert_allclose(ms16.net, ms32.net, rtol=2e-2)
+
+
+def test_to_device_chunked_matches_direct():
+    """Chunked upload == direct jnp.asarray for values/shape/dtype, across
+    the budget boundary and dtype conversions (utils/transfer.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lvae_tpu.utils.transfer import to_device_chunked
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(1000, 7)).astype(np.float32)  # 28 KB
+
+    # big-array path: force a tiny budget so the 28 KB array chunks
+    out = to_device_chunked(a, chunk_mb=0.004)  # ~4 KB → many slices
+    np.testing.assert_array_equal(np.asarray(out), a)
+    assert out.dtype == jnp.float32
+
+    # dtype conversion through the chunked path
+    out16 = to_device_chunked(a, dtype=jnp.bfloat16, chunk_mb=0.004)
+    np.testing.assert_array_equal(
+        np.asarray(out16), np.asarray(a.astype(jnp.bfloat16))
+    )
+
+    # small-array direct path and device-array passthrough
+    small = to_device_chunked(a)  # under the default budget → direct
+    np.testing.assert_array_equal(np.asarray(small), a)
+    again = to_device_chunked(small, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(again), a)
+
+    # scalars / 1-row arrays take the direct path
+    np.testing.assert_array_equal(
+        np.asarray(to_device_chunked(np.float32(3.5), chunk_mb=0.0)), 3.5
+    )
+
+
+def test_serving_basis_jits_are_module_cached():
+    """ADVICE r4: repeat refreshes must hit jax.jit's in-process cache —
+    the wrapper must be the SAME function object across calls (a per-call
+    jax.jit(lambda) never hits)."""
+    from lvae_tpu.inference import _extend_basis_jit, _fold_basis_jit
+    from lvae_tpu.ops import kernels as kx
+
+    spec0, spec1 = kx.split_kernel_spec(
+        cat_kernel=[2], sqexp_kernel=[0], id_covariate=2,
+    )
+    assert _extend_basis_jit(spec0, spec1) is _extend_basis_jit(spec0, spec1)
+    assert _fold_basis_jit(spec0, spec1, 1e-6) is _fold_basis_jit(
+        spec0, spec1, 1e-6
+    )
+    # distinct statics get distinct wrappers (no accidental cross-spec reuse)
+    other0, other1 = kx.split_kernel_spec(cat_kernel=[2], id_covariate=2)
+    assert _extend_basis_jit(other0, other1) is not _extend_basis_jit(
+        spec0, spec1
+    )
