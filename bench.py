@@ -141,6 +141,21 @@ def bench_jax(n_subjects=P, spb=SPB, epochs_timed=EPOCHS_TIMED):
     # which call paid the relay warmup).
     t0 = time.perf_counter()
     jax.block_until_ready(jax.jit(lambda x: x + 1)(0.0))
+    # sacrificial tiny serialize/deserialize round-trip: rules OUT
+    # per-process API init as the source of slow first loads. Measured: it
+    # does NOT absorb the slow leg — the identical large-executable
+    # aot-hit deserialize ran 2.6 s and 115 s on the same day with this
+    # warm in place, so the variance is server-side per-executable relay
+    # weather, which executable_ready_s records honestly (the backend_init
+    # split proves the client side was warm).
+    try:
+        from jax.experimental import serialize_executable as se
+
+        tiny = jax.jit(lambda x: x * 2.0).lower(0.0).compile()
+        payload, in_tree, out_tree = se.serialize(tiny)
+        se.deserialize_and_load(payload, in_tree, out_tree)
+    except Exception as e:  # noqa: BLE001
+        print(f"# deserialize warm skipped: {e}", file=sys.stderr)
     backend_init_s = time.perf_counter() - t0
 
     trainer = build_bench_trainer(n_subjects=n_subjects, spb=spb)
